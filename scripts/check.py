@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local driver-mimic correctness check (dev tool, NOT part of the library).
+
+Usage: after `sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify"`,
+run  `python3 scripts/check.py /root/testdata/sf0.01 /tmp/verify`.
+
+Mirrors what the driver does: registers the sf parquet tables in DuckDB,
+runs each oracle_sql.json entry, and compares against the Spark parquet
+dump (columns sorted by name, rows sorted, values hashed).
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(f).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+n_ok = n_bad = 0
+for name, sql in sorted(oracle.items()):
+    spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not spark_files:
+        print(f"FAIL {name}: no spark output")
+        n_bad += 1
+        continue
+    got = pd.concat([pd.read_parquet(f) for f in sorted(spark_files)])
+    try:
+        exp = con.execute(sql).df()
+    except Exception as ex:
+        print(f"FAIL {name}: duckdb error: {ex}")
+        n_bad += 1
+        continue
+    gc, ec = sorted(got.columns), sorted(exp.columns)
+    if gc != ec:
+        print(f"FAIL {name}: columns {gc} vs {ec}")
+        n_bad += 1
+        continue
+    got, exp = got[gc], exp[gc]
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+        n_bad += 1
+        continue
+    g = got.sort_values(gc).reset_index(drop=True)
+    e = exp.sort_values(gc).reset_index(drop=True)
+    mismatch = []
+    for c in gc:
+        gv, ev = g[c], e[c]
+        if str(gv.dtype) != str(ev.dtype):
+            mismatch.append(f"{c}: dtype {gv.dtype} vs {ev.dtype}")
+        if not gv.equals(ev.astype(gv.dtype, errors="ignore") if str(gv.dtype) != str(ev.dtype) else ev):
+            try:
+                diff = (gv != ev) & ~(gv.isna() & ev.isna())
+                idx = diff[diff].index[:3].tolist()
+                mismatch.append(f"{c}: {len(diff[diff])} diffs e.g. idx {idx} got {gv.iloc[idx].tolist() if idx else []} exp {ev.iloc[idx].tolist() if idx else []}")
+            except Exception:
+                mismatch.append(f"{c}: unequal")
+    if mismatch:
+        print(f"FAIL {name}: " + "; ".join(mismatch))
+        n_bad += 1
+    else:
+        print(f"OK   {name} ({len(got)} rows)")
+        n_ok += 1
+print(f"== {n_ok} ok, {n_bad} bad ==")
+sys.exit(1 if n_bad else 0)

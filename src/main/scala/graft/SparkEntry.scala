@@ -1,13 +1,49 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator in SURVEY.md §2 marked [batch] has a `queries` entry;
+  * every [sql-oracle] one also has a DuckDB `oracleSql` entry built with
+  * the same exact-decimal / identical-expression discipline (SURVEY §6)
+  * so the driver's hash compare is bit-stable.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q3JoinAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.A core relational
+    "q1_agg" -> (Analytics.q1Agg _),
+    "q2_filter_project" -> (Analytics.q2FilterProject _),
+    "q3_join_agg" -> (Analytics.q3JoinAgg _),
+    "q4_topn_window" -> (Analytics.q4TopnWindow _),
+    "q5_distinct_agg" -> (Analytics.q5DistinctAgg _),
+    "q6_conditional_agg" -> (Analytics.q6ConditionalAgg _),
+    "q7_semi_anti" -> (Analytics.q7SemiAnti _),
+    "q8_rollup" -> (Analytics.q8Rollup _),
+    "q9_percentile" -> (Analytics.q9Percentile _),
+    "q10_having_sub" -> (Analytics.q10HavingSub _),
+    // §2.B event/time-series
+    "e1_json_parse" -> (EventOps.e1JsonParse _),
+    "e2_tumbling" -> (EventOps.e2Tumbling _),
+    "e3_rolling" -> (EventOps.e3Rolling _),
+    "e4_sessionize" -> (EventOps.e4Sessionize _),
+    "e5_zscore" -> (EventOps.e5Zscore _),
+    "e6_robust" -> (EventOps.e6Robust _),
+    "e7_iqr" -> (EventOps.e7Iqr _),
+    "e8_seasonal" -> (EventOps.e8Seasonal _),
+    "e9_rate" -> (EventOps.e9Rate _),
+    "e10_top_outliers" -> (EventOps.e10TopOutliers _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Analytics.oracle ++ EventOps.oracle
 }

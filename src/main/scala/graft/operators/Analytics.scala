@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Core relational surface (SURVEY.md §2.A).
+  *
+  * Float discipline (SURVEY §6): every SUM over a double column goes
+  * through an exact DECIMAL(18,6) intermediate and is cast back to
+  * double. The per-row cast double→decimal is uniquely determined (a
+  * tie at the 6th fractional digit is not binary-representable), the
+  * decimal sum is exact regardless of partition/merge order, and the
+  * final decimal→double cast is a single correctly-rounded step — so
+  * the DuckDB oracle built the same way is bit-identical even though
+  * Spark sums in parallel. Derived values (ratios, z-scores) are then
+  * plain double arithmetic over identical inputs on both sides.
+  *
+  * Scale notes: every query projects only the columns it needs before
+  * any shuffle (column pruning reaches the parquet scan), filters sit
+  * directly on the scan (predicate pushdown), fixed-size dimension
+  * tables (nation) are broadcast, and AQE handles the rest.
+  */
+object Analytics {
+
+  /** Exact double sum via DECIMAL(18,6); deterministic across partitions. */
+  private[graft] def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** q1_agg — pricing summary: groupBy aggregate with derived expressions.
+    * Re-expresses the reference's per-entity metric aggregation
+    * (app3_ML.py:108-130 routes rows by plant_type then summarises) as a
+    * declarative hash aggregate with map-side partials. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q2_filter_project — predicate + projection pushdown straight to the
+    * parquet scan (PushedFilters + pruned ReadSchema visible in explain). */
+  def q2FilterProject(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp") &&
+        col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** q3_join_agg — revenue by nation: lineitem⋈orders⋈customer⋈nation.
+    * nation is a fixed-size dim → explicit broadcast (no shuffle for it);
+    * the fact-fact joins shuffle only post-projection key+payload. */
+  def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** q4_topn_window — top-3 orders by totalprice per priority class
+    * (row_number window; o_orderkey tie-break keeps it deterministic).
+    * Re-expresses the reference's "last N outliers per entity" table
+    * (app3_ML.py:177-180) as a rank window. */
+  def q4TopnWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** q5_distinct_agg — distinct counts per group (exact, shuffle-expanded
+    * by Spark into a two-phase aggregate). */
+  def q5DistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_ord"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** q6_conditional_agg — CASE-WHEN pivot-style aggregates (single scan,
+    * no shuffle per pivot column). */
+  def q6ConditionalAgg(s: SparkSession, dir: String): DataFrame = {
+    def flagged(f: String): Column =
+      sum(when(col("l_returnflag") === f, 1L).otherwise(0L))
+    def flaggedPrice(f: String): Column =
+      sum(when(col("l_returnflag") === f, col("l_extendedprice")).otherwise(lit(0.0))
+        .cast(DecimalType(18, 6))).cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy("l_linestatus")
+      .agg(flagged("R").as("n_r"), flagged("A").as("n_a"), flagged("N").as("n_n"),
+        flaggedPrice("R").as("price_r"), flaggedPrice("N").as("price_n"))
+      .orderBy("l_linestatus")
+  }
+
+  /** q7_semi_anti — EXISTS / NOT EXISTS as left-semi / left-anti joins
+    * (customers with vs without a completed 'F' order). */
+  def q7SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+    val fOrders = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val semi = cust.join(fOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("tag", lit("has_f_order"))
+    val anti = cust.join(fOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("tag", lit("no_f_order"))
+    semi.unionAll(anti).orderBy("c_custkey", "tag")
+  }
+
+  /** q8_rollup — multi-level ROLLUP aggregate (subtotals + grand total). */
+  def q8Rollup(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+  }
+
+  /** q9_percentile — exact interpolated percentiles per group (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, both R-7). Rounded to 6 dp:
+    * the two engines may differ in the last ulp of the interpolation. */
+  def q9Percentile(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q10_having_sub — HAVING against a scalar subquery (customers at or
+    * above the mean order count). The scalar is broadcast, not recomputed
+    * per row. Integer inputs keep the mean exact on both engines. */
+  def q10HavingSub(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_ord"), dsum(col("o_totalprice")).as("spend"))
+    val thr = perCust.agg(avg(col("n_ord")).as("thr"))
+    perCust.join(broadcast(thr))
+      .filter(col("n_ord") >= col("thr"))
+      .select(col("o_custkey"), col("n_ord"), col("spend"))
+      .orderBy("o_custkey")
+  }
+
+  /** DuckDB oracle SQL for §2.A — constructed with the same decimal
+    * intermediates / expression shapes as the DataFrame plans above. */
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | COUNT(*) AS count_order,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q4_topn_window" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q5_distinct_agg" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_ord,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q6_conditional_agg" ->
+      """SELECT l_linestatus,
+        | CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+        | CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        | CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+        | CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS price_r,
+        | CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS price_n
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q7_semi_anti" ->
+      """SELECT c_custkey, c_mktsegment, 'has_f_order' AS tag FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT c_custkey, c_mktsegment, 'no_f_order' AS tag FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey, tag""".stripMargin,
+    "q8_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        | COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q9_percentile" ->
+      """SELECT l_returnflag,
+        | ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS med_qty,
+        | ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 6) AS p90_price,
+        | ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 6) AS p99_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q10_having_sub" ->
+      """SELECT o_custkey, COUNT(*) AS n_ord,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= (SELECT AVG(n) FROM
+        |  (SELECT COUNT(*) AS n FROM orders GROUP BY o_custkey) t)
+        |ORDER BY o_custkey""".stripMargin
+  )
+}

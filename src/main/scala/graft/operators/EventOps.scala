@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Event/time-series analytics (SURVEY.md §2.B) — the batch twins of the
+  * reference's streaming surface (app3_ML.py:79-141: JSON parse →
+  * timestamp → per-entity sliding window → outlier flagging → "last N
+  * outliers" tables). Statistical detectors (z-score / MAD / IQR /
+  * seasonal) are the declarative counterparts of the reference's
+  * IsolationForest loop (app3_ML.py:143-182); the IF itself is
+  * graft.ml.GraftIsolationForest.
+  *
+  * Determinism discipline (SURVEY §6): group stats flow through exact
+  * decimal sums; z-scores are then identical double arithmetic on both
+  * engines. Time keys are floor-second epochs so Spark's µs timestamps
+  * and DuckDB's ns timestamps agree. Every output is uniquely ordered.
+  */
+object EventOps {
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+  /** Exact sum of squares (values ≤ ~1e3, rows ≤ ~1e6 ⇒ fits 28,10). */
+  private def dsumSq(c: Column): Column = sum((c * c).cast(DecimalType(28, 10))).cast("double")
+
+  /** Per-group mean/sd via the exact-sum formula sqrt((Σx² − (Σx)²/n)/(n−1)) —
+    * written identically in the DuckDB oracle so both engines agree bitwise. */
+  private def statsByKey(df: DataFrame, keys: Seq[String], v: Column): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), dsum(v).as("s1"), dsumSq(v).as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - lit(1))))
+
+  /** e1_json_parse — JSON prop extraction from the `props` payload column
+    * (the reference's from_json stage, app3_ML.py:89-90). */
+  def e1JsonParse(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .filter(col("k") > 50)
+      .orderBy("event_id")
+  }
+
+  /** e2_tumbling — 1-hour tumbling-window aggregate per event_type
+    * (streaming twin: st2 with watermark; here a plain hash aggregate
+    * with map-side partials — no row-window needed). */
+  def e2Tumbling(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("h"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("h", "event_type")
+  }
+
+  /** e3_rolling — rolling mean/sd over the last 10 events per user
+    * (bounded row frame = the scale-safe form of a sliding window). */
+  def e3Rolling(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("roll_avg", round(avg(col("value")).over(w), 6))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sd",
+        round(when(col("roll_n") > 1, stddev_samp(col("value")).over(w)).otherwise(0.0), 6))
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("roll_avg"), col("roll_sd"), col("roll_n"))
+      .orderBy("event_id")
+  }
+
+  /** e4_sessionize — session windows via inactivity gap > 30 min per user
+    * (lag + cumulative-sum session ids; floor-second timestamps keep the
+    * gap test identical across engines). */
+  def e4Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val secs = col("ts").cast("long")
+    val ord = Window.partitionBy("user_id").orderBy("secs", "event_id")
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"), secs.as("secs"))
+      .withColumn("prev", lag(col("secs"), 1).over(ord))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("secs") - col("prev") > 1800, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(cum))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"), min(col("secs")).as("start_s"),
+        max(col("secs")).as("end_s"), dsum(col("value")).as("sum_value"))
+      .orderBy("user_id", "sid")
+  }
+
+  /** e5_zscore — per-event_type z-score outliers (|z| > 3). Stats come
+    * from one exact aggregate, broadcast back over the fact — the
+    * declarative twin of the reference's per-entity window scoring. */
+  def e5Zscore(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    val st = statsByKey(ev, Seq("event_type"), col("value"))
+    val z = (col("value") - col("mean")) / col("sd")
+    ev.join(broadcast(st), "event_type")
+      .filter(abs(z) > 3)
+      .select(col("event_id"), col("event_type"), col("value"), round(z, 6).as("z"))
+      .orderBy("event_id")
+  }
+
+  /** e6_robust — median/MAD robust outliers (|robust z| > 3.5), two exact
+    * percentile passes + broadcast joins. */
+  def e6Robust(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    val med = ev.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+    val withAd = ev.join(broadcast(med), "event_type")
+      .withColumn("ad", abs(col("value") - col("med")))
+    val mad = withAd.groupBy("event_type").agg(expr("percentile(ad, 0.5)").as("mad"))
+    val rz = (col("value") - col("med")) / (lit(1.4826) * col("mad"))
+    withAd.join(broadcast(mad), "event_type")
+      .filter(abs(rz) > 3.5)
+      .select(col("event_id"), col("event_type"), col("value"), round(rz, 6).as("rz"))
+      .orderBy("event_id")
+  }
+
+  /** e7_iqr — IQR-fence outliers per event_type. */
+  def e7Iqr(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    val st = ev.groupBy("event_type").agg(
+      expr("percentile(value, 0.25)").as("q1"), expr("percentile(value, 0.75)").as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    ev.join(broadcast(st), "event_type")
+      .filter(col("value") < col("lo") || col("value") > col("hi"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+      .orderBy("event_id")
+  }
+
+  /** e8_seasonal — hour-of-day seasonal profile detrend + residual
+    * z-score outliers (the reference producer plants 24h/12h sinusoids;
+    * this removes them before flagging, producer-3.py:72-75). */
+  def e8Seasonal(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), hour(col("ts")).as("hr"), col("value"))
+    val prof = statsByKey(ev, Seq("event_type", "hr"), col("value"))
+    val rz = (col("value") - col("mean")) / col("sd")
+    ev.join(broadcast(prof), Seq("event_type", "hr"))
+      .filter(abs(rz) > 3)
+      .select(col("event_id"), col("event_type"), col("hr"), col("value"),
+        round(rz, 6).as("rz"))
+      .orderBy("event_id")
+  }
+
+  /** e9_rate — per-minute event rate + error ratio (the dashboard-feed
+    * style rollup). */
+  def e9Rate(s: SparkSession, dir: String): DataFrame = {
+    val isErr = when(col("event_type") === "error", 1L).otherwise(0L)
+    Tables.events(s, dir)
+      .groupBy(unix_timestamp(date_trunc("minute", col("ts"))).as("m"))
+      .agg(count(lit(1)).as("n"), sum(isErr).as("n_err"))
+      .withColumn("err_ratio", col("n_err") * lit(1.0) / col("n"))
+      .orderBy("m")
+  }
+
+  /** e10_top_outliers — 5 most-recent z-outliers (|z| > 2) per event_type:
+    * the reference's capped per-entity outlier table (app3_ML.py:177-180)
+    * as a rank window over the flagged stream. */
+  def e10TopOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts").cast("long").as("secs"))
+    val st = statsByKey(ev, Seq("event_type"), col("value"))
+    val z = (col("value") - col("mean")) / col("sd")
+    val flagged = ev.join(broadcast(st), "event_type")
+      .withColumn("z", z).filter(abs(col("z")) > 2)
+    val w = Window.partitionBy("event_type").orderBy(col("secs").desc, col("event_id").desc)
+    flagged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("event_id"), col("event_type"), col("value"), col("secs"),
+        round(col("z"), 6).as("z"), col("rn"))
+      .orderBy("event_type", "rn")
+  }
+
+  private val zStatsCte =
+    """st AS (SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+      | CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2
+      |FROM events GROUP BY event_type)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "e1_json_parse" ->
+      """SELECT event_id, CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS k, value
+        |FROM events WHERE CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) > 50
+        |ORDER BY event_id""".stripMargin,
+    "e2_tumbling" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, event_type,
+        | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
+    "e3_rolling" ->
+      """SELECT event_id, user_id, value,
+        | ROUND(AVG(value) OVER w, 6) AS roll_avg,
+        | ROUND(CASE WHEN COUNT(*) OVER w > 1 THEN STDDEV_SAMP(value) OVER w ELSE 0.0 END, 6) AS roll_sd,
+        | COUNT(*) OVER w AS roll_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "e4_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, value,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS secs FROM events),
+        |f AS (SELECT *, CASE WHEN LAG(secs) OVER w IS NULL
+        |                       OR secs - LAG(secs) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+        |      FROM g WINDOW w AS (PARTITION BY user_id ORDER BY secs, event_id)),
+        |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY secs, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, CAST(sid AS BIGINT) AS sid, COUNT(*) AS n_events,
+        | MIN(secs) AS start_s, MAX(secs) AS end_s,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+    "e5_zscore" ->
+      s"""WITH $zStatsCte
+         |SELECT e.event_id, e.event_type, e.value,
+         | ROUND((e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1)), 6) AS z
+         |FROM events e JOIN st USING(event_type)
+         |WHERE ABS((e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))) > 3
+         |ORDER BY event_id""".stripMargin,
+    "e6_robust" ->
+      """WITH med AS (SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+        |             FROM events GROUP BY event_type),
+        |d AS (SELECT e.event_id, e.event_type, e.value, med,
+        |        ABS(e.value - med) AS ad FROM events e JOIN med USING(event_type)),
+        |md AS (SELECT event_type, QUANTILE_CONT(ad, 0.5) AS mad FROM d GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, d.value,
+        | ROUND((d.value - d.med) / (1.4826 * mad), 6) AS rz
+        |FROM d JOIN md USING(event_type)
+        |WHERE ABS((d.value - d.med) / (1.4826 * mad)) > 3.5
+        |ORDER BY event_id""".stripMargin,
+    "e7_iqr" ->
+      """WITH st AS (SELECT event_type,
+        |  QUANTILE_CONT(value, 0.25) AS q1, QUANTILE_CONT(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type),
+        |f AS (SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM st)
+        |SELECT e.event_id, e.event_type, e.value,
+        | ROUND(lo, 6) AS lo, ROUND(hi, 6) AS hi
+        |FROM events e JOIN f USING(event_type)
+        |WHERE e.value < lo OR e.value > hi
+        |ORDER BY event_id""".stripMargin,
+    "e8_seasonal" ->
+      """WITH st AS (SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hr,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2
+        | FROM events GROUP BY event_type, hr)
+        |SELECT e.event_id, e.event_type, CAST(EXTRACT(HOUR FROM e.ts) AS INTEGER) AS hr, e.value,
+        | ROUND((e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1)), 6) AS rz
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |  AND CAST(EXTRACT(HOUR FROM e.ts) AS INTEGER) = st.hr
+        |WHERE ABS((e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))) > 3
+        |ORDER BY event_id""".stripMargin,
+    "e9_rate" ->
+      """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS m, COUNT(*) AS n,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) * 1.0 / COUNT(*) AS err_ratio
+        |FROM events GROUP BY m ORDER BY m""".stripMargin,
+    "e10_top_outliers" ->
+      s"""WITH $zStatsCte,
+         |z AS (SELECT e.event_id, e.event_type, e.value,
+         |  CAST(epoch(date_trunc('second', e.ts)) AS BIGINT) AS secs,
+         |  (e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1)) AS z
+         | FROM events e JOIN st USING(event_type))
+         |SELECT event_id, event_type, value, secs, ROUND(z, 6) AS z, CAST(rn AS INTEGER) AS rn
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+         |                                   ORDER BY secs DESC, event_id DESC) AS rn
+         |      FROM z WHERE ABS(z) > 2) t
+         |WHERE rn <= 5 ORDER BY event_type, rn""".stripMargin
+  )
+}
