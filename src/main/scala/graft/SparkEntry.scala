@@ -40,10 +40,19 @@ object SparkEntry {
     "e7_iqr" -> (EventOps.e7Iqr _),
     "e8_seasonal" -> (EventOps.e8Seasonal _),
     "e9_rate" -> (EventOps.e9Rate _),
-    "e10_top_outliers" -> (EventOps.e10TopOutliers _)
+    "e10_top_outliers" -> (EventOps.e10TopOutliers _),
+    // §2.D dedup / §2.E similarity / §2.F text
+    "d1_dedup_exact" -> (Dedup.d1DedupExact _),
+    "d5_embed_neardup" -> (Dedup.d5EmbedNeardup _),
+    "s1_ann_brute" -> (Similarity.s1AnnBrute _),
+    "t2_quality" -> (TextOps.t2Quality _),
+    "t3_tokens" -> (TextOps.t3Tokens _),
+    "t5_doc_stats" -> (TextOps.t5DocStats _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Analytics.oracle ++ EventOps.oracle
+  def oracleSql: Map[String, String] =
+    Analytics.oracle ++ EventOps.oracle ++ Dedup.oracle ++
+      Similarity.oracle ++ TextOps.oracle
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Deduplication for LLM-data pipelines (SURVEY.md §2.D), over the
+  * `documents` / `embeddings` tables.
+  *
+  * Scale notes: exact dedup (d1) is a hash-groupBy — one shuffle on the
+  * digest, map-side partial. Exact all-pairs similarity is inherently
+  * quadratic, so d5 keeps the exact self-join form only as the
+  * verifiable small-N twin; the 100 TB paths are the LSH-bucketed
+  * variants (d2/d3/d4 — candidate generation via inverted index /
+  * banding, so cost tracks candidate pairs, not n²).
+  */
+object Dedup {
+
+  /** d1_dedup_exact — exact duplicate grouping by content digest: one
+    * survivor (min doc_id) per distinct normalized text. */
+  def d1DedupExact(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper")
+  }
+
+  /** d5_embed_neardup — exact embedding-cosine near-dup pairs (cos ≥ 0.45).
+    * Self-join with a<b; the dot product runs in codegen'd higher-order
+    * functions (VectorOps), no UDF. */
+  def d5EmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val cos = VectorOps.cosine(col("ea"), col("eb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= 0.45)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+      .orderBy("a", "b")
+  }
+
+  /** Shared DuckDB CTE: explode embeddings to (vec_id, position, value)
+    * with double-cast values — mirrors VectorOps' double-precision math. */
+  private val explodeCte =
+    """ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |       generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |nrm AS (SELECT vec_id, SUM(x * x) AS n2 FROM ex GROUP BY vec_id)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT h, keeper, n_copies FROM (
+        | SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+        | FROM documents GROUP BY md5(text)) t
+        |ORDER BY keeper""".stripMargin,
+    "d5_embed_neardup" ->
+      s"""WITH $explodeCte,
+         |dots AS (SELECT ea.vec_id AS a, eb.vec_id AS b, SUM(ea.x * eb.x) AS dot
+         |         FROM ex ea JOIN ex eb ON ea.i = eb.i AND ea.vec_id < eb.vec_id
+         |         GROUP BY ea.vec_id, eb.vec_id)
+         |SELECT a, b, ROUND(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+         |FROM dots JOIN nrm na ON dots.a = na.vec_id
+         |          JOIN nrm nb ON dots.b = nb.vec_id
+         |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.45
+         |ORDER BY a, b""".stripMargin
+  )
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Similarity search over embeddings (SURVEY.md §2.E).
+  *
+  * s1 is the exact baseline: broadcast the (tiny) query set against the
+  * corpus scan — cost is linear in corpus size, embarrassingly parallel
+  * over partitions, and the only shuffle is the final per-query top-k.
+  * That is exactly the shape that survives 100 TB: queries broadcast,
+  * corpus streamed, per-partition partial top-k then merge. The
+  * approximate variants (s2 LSH / s3 IVF) cut the scanned fraction.
+  */
+object Similarity {
+
+  /** s1_ann_brute — exact cosine top-10 per query vector (queries =
+    * vec_id < 5, corpus = everything else). */
+  def s1AnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"),
+        sqrt(VectorOps.normSq(col("embedding"))).as("qn"))
+    val c = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cid"), col("embedding").as("ec"),
+        sqrt(VectorOps.normSq(col("embedding"))).as("cn"))
+    val cos = VectorOps.dot(col("eq"), col("ec")) / (col("qn") * col("cn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    c.join(broadcast(q))
+      .withColumn("cos", cos)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
+        col("rn").cast("int").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "s1_ann_brute" ->
+      """WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |            generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(SUM(x * x)) AS n FROM ex GROUP BY vec_id),
+        |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x * c.x) AS dot
+        |         FROM ex q JOIN ex c ON q.i = c.i
+        |         WHERE q.vec_id < 5 AND c.vec_id >= 5
+        |         GROUP BY q.vec_id, c.vec_id),
+        |scored AS (SELECT qid, cid, dot / (nq.n * nc.n) AS cos
+        |           FROM dots JOIN nrm nq ON dots.qid = nq.vec_id
+        |                     JOIN nrm nc ON dots.cid = nc.vec_id)
+        |SELECT qid, cid, ROUND(cos, 6) AS cos, CAST(rn AS INTEGER) AS rn
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |                                   ORDER BY cos DESC, cid) AS rn
+        |      FROM scored) t
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+  )
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text analysis for LLM-data pipelines (SURVEY.md §2.F), over the
+  * `documents` table. Quality/token metrics are pure column arithmetic
+  * (no UDFs → whole-stage codegen, trivially parallel over doc
+  * partitions at 100 TB). No transcendental functions in oracle-checked
+  * outputs — libm rounding differs across engines; sqrt/arithmetic are
+  * IEEE-exact.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "to", "and")
+
+  /** t2_quality — length / stopword-ratio quality scoring. */
+  def t2Quality(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("words"), w => w.isInCollection(stopwords))).cast("long"))
+      .withColumn("avg_word_len",
+        (col("n_chars") - (col("n_words") - 1)) * lit(1.0) / col("n_words"))
+      .withColumn("stop_ratio", col("n_stop") * lit(1.0) / col("n_words"))
+      .withColumn("quality", round((lit(1.0) - col("stop_ratio")) * col("avg_word_len"), 6))
+      .select(col("doc_id"), col("n_words"), col("n_stop"),
+        col("avg_word_len"), col("stop_ratio"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** t3_tokens — token counting: whitespace split, regex word tokens, and
+    * a chars/4 BPE-style estimate. */
+  def t3Tokens(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"),
+        expr("regexp_count(text, '[a-z]+|[0-9]+')").cast("long").as("n_re"),
+        ceil(col("n_chars") / lit(4.0)).cast("long").as("est_bpe"))
+      .orderBy("doc_id")
+  }
+
+  /** t5_doc_stats — corpus statistics per (source, lang). */
+  def t5DocStats(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .withColumn("avg_chars", col("total_chars") * lit(1.0) / col("n_docs"))
+      .orderBy("source", "lang")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "t2_quality" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        | CAST(len(list_filter(string_split(text, ' '),
+        |          w -> w IN ('the','a','of','to','and'))) AS BIGINT) AS n_stop,
+        | (n_chars - (len(string_split(text, ' ')) - 1)) * 1.0
+        |   / len(string_split(text, ' ')) AS avg_word_len,
+        | len(list_filter(string_split(text, ' '),
+        |     w -> w IN ('the','a','of','to','and'))) * 1.0
+        |   / len(string_split(text, ' ')) AS stop_ratio,
+        | ROUND((1.0 - len(list_filter(string_split(text, ' '),
+        |            w -> w IN ('the','a','of','to','and'))) * 1.0
+        |          / len(string_split(text, ' ')))
+        |       * ((n_chars - (len(string_split(text, ' ')) - 1)) * 1.0
+        |          / len(string_split(text, ' '))), 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t3_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_re,
+        | CAST(CEIL(n_chars / 4.0) AS BIGINT) AS est_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_doc_stats" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        | CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        | CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        | CAST(SUM(n_chars) AS BIGINT) * 1.0 / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin
+  )
+}
