@@ -47,7 +47,17 @@ object SparkEntry {
     "s1_ann_brute" -> (Similarity.s1AnnBrute _),
     "t2_quality" -> (TextOps.t2Quality _),
     "t3_tokens" -> (TextOps.t3Tokens _),
-    "t5_doc_stats" -> (TextOps.t5DocStats _)
+    "t5_doc_stats" -> (TextOps.t5DocStats _),
+    "d2_dedup_ngram" -> (Dedup.d2DedupNgram _),
+    // rows-only ops (hash/ML-algorithm-defined; spec-tested, no SQL oracle)
+    "d3_minhash_lsh" -> (DedupApprox.d3MinhashLsh _),
+    "d4_simhash" -> (DedupApprox.d4Simhash _),
+    "s2_ann_lsh" -> (Similarity.s2AnnLsh _),
+    "t1_langid" -> (TextOps.t1Langid _),
+    "t4_fingerprint" -> (TextOps.t4Fingerprint _),
+    "a1_isoforest" -> (AnomalyML.a1Isoforest _),
+    "a2_ewma" -> (AnomalyML.a2Ewma _),
+    "m1_binary_meta" -> (Multimodal.m1BinaryMeta _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

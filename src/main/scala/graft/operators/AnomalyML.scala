@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.ml.GraftIsolationForest
+
+/** Event row for typed per-key processing (encoder-friendly). */
+case class EventRow(event_id: Long, user_id: Long, value: Double, secs: Long)
+
+/** Scored EWMA output row. */
+case class EwmaRow(event_id: Long, user_id: Long, value: Double,
+    ewma: Double, resid: Double)
+
+/** ML anomaly operators (SURVEY.md §2.C) — the reference's Isolation
+  * Forest surface (app3_ML.py:143-182) rebuilt for Spark's execution
+  * model: bounded deterministic per-entity sample → driver fit →
+  * broadcast model → shuffle-free distributed scoring.
+  */
+object AnomalyML {
+
+  /** a1_isoforest — per-event_type Isolation Forest scores over `value`
+    * (the reference fits per plant_type on its feature set and flags
+    * contamination-quantile outliers; here: score > 0.62).
+    *
+    * The training pool is a deterministic pseudo-random sample per key
+    * (row_number over hash order, ≤1024 rows/key) — at 100 TB this stays
+    * a bounded driver collect no matter the table size. */
+  def a1Isoforest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    val w = Window.partitionBy("event_type").orderBy(xxhash64(col("event_id")), col("event_id"))
+    val pool = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1024)
+      .select(col("event_type"), col("value"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(r => Array(r.getDouble(1))) }
+    val forests = pool.map { case (k, xs) =>
+      k -> GraftIsolationForest.fit(xs.toArray, numTrees = 100, sampleSize = 256, seed = 42L)
+    }
+    val bc = s.sparkContext.broadcast(forests)
+    val scoreUdf = udf((t: String, v: Double) =>
+      bc.value.get(t).map(_.score(Array(v))).getOrElse(0.5))
+    ev.withColumn("score", scoreUdf(col("event_type"), col("value")))
+      .filter(col("score") > 0.62)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("score"), 6).as("score"))
+      .orderBy("event_id")
+  }
+
+  /** a2_ewma — EWMA smoothing (α=0.3) + residuals per user, via typed
+    * per-key iteration (flatMapGroups). State is O(1) per key and keys
+    * are hash-partitioned — the batch twin of st3's streaming state. */
+  def a2Ewma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val alpha = 0.3
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"), col("ts").cast("long").as("secs"))
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        val rows = it.toArray.sortBy(r => (r.secs, r.event_id))
+        var ew = rows.head.value
+        rows.iterator.map { r =>
+          val resid = r.value - ew
+          ew = alpha * r.value + (1 - alpha) * ew
+          EwmaRow(r.event_id, uid, r.value, math.rint(ew * 1e6) / 1e6,
+            math.rint(resid * 1e6) / 1e6)
+        }
+      }
+      .toDF()
+      .orderBy("event_id")
+  }
+}

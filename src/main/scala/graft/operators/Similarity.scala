@@ -39,6 +39,58 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Random-hyperplane signatures: 8 tables × 12 bits, deterministic. */
+  private val Tables8 = 8
+  private val Bits = 12
+  private val Dim = 64
+  private lazy val planes: Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(99L)
+    Array.fill(Tables8, Bits, Dim)(rng.nextGaussian())
+  }
+
+  private[graft] def buckets(v: Seq[Float]): Seq[(Int, Int)] =
+    (0 until Tables8).map { t =>
+      var bucket = 0
+      var b = 0
+      while (b < Bits) {
+        var dp = 0.0
+        var i = 0
+        val p = planes(t)(b)
+        while (i < Dim && i < v.length) { dp += p(i) * v(i); i += 1 }
+        if (dp >= 0) bucket |= (1 << b)
+        b += 1
+      }
+      (t, bucket)
+    }
+
+  /** s2_ann_lsh — random-hyperplane LSH ANN: queries and corpus are
+    * bucketed per table; only same-bucket candidates get exact cosine.
+    * The scanned fraction drops to collisions (~corpus/2^bits per table),
+    * which is the 100 TB path; recall vs s1 is spec-tested. */
+  def s2AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    def bucketed(df: DataFrame, idCol: String) = df.as[(Long, Seq[Float])]
+      .flatMap { case (id, v) => buckets(v).map { case (t, bk) => (id, t, bk) } }
+      .toDF(idCol, "t", "bk")
+    val qb = bucketed(e.filter(col("vec_id") < 5), "qid")
+    val cb = bucketed(e.filter(col("vec_id") >= 5), "cid")
+    val cand = qb.join(cb, Seq("t", "bk")).select("qid", "cid").distinct()
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("eq"),
+      sqrt(VectorOps.normSq(col("embedding"))).as("qn"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ec"),
+      sqrt(VectorOps.normSq(col("embedding"))).as("cn"))
+    val cos = VectorOps.dot(col("eq"), col("ec")) / (col("qn") * col("cn"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    cand.join(broadcast(q), "qid").join(c, "cid")
+      .withColumn("cos", cos)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
+        col("rn").cast("int").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
   val oracle: Map[String, String] = Map(
     "s1_ann_brute" ->
       """WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -55,6 +55,46 @@ object TextOps {
       .orderBy("source", "lang")
   }
 
+  /** Per-language marker-word profiles (tiny embedded stopword lists —
+    * the n-gram-profile approach of Cavnar & Trenkle 1994, reduced to
+    * word unigrams). Column-only: stays in whole-stage codegen. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that"),
+    "es" -> Seq("el", "los", "de", "y", "que", "en", "es", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une", "est", "dans"),
+    "zh" -> Seq("de", "shi", "bu", "le", "ren", "wo", "zai", "you"))
+
+  /** t1_langid — marker-profile language ID: score = marker hits per
+    * language, predict argmax (ties break to the lexicographically last
+    * language — deterministic). [rows-only]: heuristic-defined. */
+  def t1Langid(s: SparkSession, dir: String): DataFrame = {
+    val scored = langMarkers.foldLeft(
+      Tables.documents(s, dir).withColumn("words", split(col("text"), " "))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"score_$lang",
+          size(filter(col("words"), w => w.isInCollection(markers))))
+    }
+    val structs = langMarkers.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("sc"), lit(lang).as("lang"))
+    }
+    scored.withColumn("best", greatest(structs: _*))
+      .select(col("doc_id"), col("best.lang").as("pred_lang"),
+        col("best.sc").cast("int").as("best_score"))
+      .orderBy("doc_id")
+  }
+
+  /** t4_fingerprint — rolling 8-char-gram hash fingerprint (winnowing-
+    * style min-gram selection) + whole-document xxhash64. Column-only.
+    * [rows-only]: hash-algorithm-defined. */
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("array_min(transform(sequence(0, greatest(length(text) - 8, 0)), i -> hash(substr(text, i + 1, 8))))").as("fp_min"),
+        xxhash64(col("text")).as("fp64"))
+      .orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
     "t2_quality" ->
       """SELECT doc_id,
