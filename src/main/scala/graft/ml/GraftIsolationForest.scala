@@ -15,9 +15,13 @@ import scala.util.Random
   */
 object GraftIsolationForest {
 
-  /** Average unsuccessful-search path length in a BST of n nodes. */
+  /** Average unsuccessful-search path length in a BST of n nodes.
+    * The harmonic-number approximation H(i) ≈ ln(i) + γ underestimates
+    * badly at n = 2 (true value 1), so small n is special-cased — same
+    * discipline as the published implementations. */
   def avgPathLen(n: Double): Double =
     if (n <= 1.0) 0.0
+    else if (n == 2.0) 1.0
     else 2.0 * (math.log(n - 1.0) + 0.5772156649015329) - 2.0 * (n - 1.0) / n
 
   /** One isolation tree in flat-array form (node i: children 2i+1/2i+2

@@ -39,9 +39,16 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  /** Random-hyperplane signatures: 8 tables × 12 bits, deterministic. */
-  private val Tables8 = 8
-  private val Bits = 12
+  /** Random-hyperplane signatures: 16 tables × 4 bits, deterministic.
+    * Bits/table sets bucket granularity — collision prob per table is
+    * (1 − θ/π)^bits, so for the weakly-similar regime this corpus sits
+    * in (top-10 cosine ≈ 0.25–0.40, θ ≈ 70°, per-bit ≈ 0.6) 4 bits ×
+    * 16 tables gives ~0.85 expected recall (spec-asserted vs s1). At
+    * 100 TB, scale bits ≈ log2(corpus / target_bucket_size) and tables
+    * to the recall target — candidates per query stay ~tables ×
+    * bucket_size regardless of corpus size. */
+  private val Tables8 = 16
+  private val Bits = 4
   private val Dim = 64
   private lazy val planes: Array[Array[Array[Double]]] = {
     val rng = new scala.util.Random(99L)

@@ -68,9 +68,14 @@ object TextOps {
   /** t1_langid — marker-profile language ID: score = marker hits per
     * language, predict argmax (ties break to the lexicographically last
     * language — deterministic). [rows-only]: heuristic-defined. */
-  def t1Langid(s: SparkSession, dir: String): DataFrame = {
+  def t1Langid(s: SparkSession, dir: String): DataFrame =
+    langidOver(Tables.documents(s, dir))
+
+  /** Core transform over any (doc_id, text) frame — spec-tested on
+    * crafted per-language sentences. */
+  def langidOver(docs: DataFrame): DataFrame = {
     val scored = langMarkers.foldLeft(
-      Tables.documents(s, dir).withColumn("words", split(col("text"), " "))) {
+      docs.withColumn("words", split(col("text"), " "))) {
       case (df, (lang, markers)) =>
         df.withColumn(s"score_$lang",
           size(filter(col("words"), w => w.isInCollection(markers))))

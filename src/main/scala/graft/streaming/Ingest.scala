@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** st1_ingest — Kafka-style JSON ingest with schema enforcement
+  * (SURVEY.md §2.H; reference app/app3_ML.py:34-63: readStream from
+  * Kafka, `from_json` with an explicit telemetry schema, timestamp
+  * conversion, numeric validation / dropna).
+  *
+  * Takes any DataFrame (streaming or batch) with a string `value`
+  * column — the shape Kafka's source emits after
+  * `CAST(value AS STRING)` — so the same transform is unit-testable
+  * with MemoryStream and attachable to a real Kafka source unchanged.
+  *
+  * Scale: pure narrow map (parse + filter), no shuffle, fully
+  * codegen'd; parallelism = source partitions.
+  */
+object Ingest {
+
+  /** The reference producer's record shape (producer/producer-3.py:21-77). */
+  val telemetrySchema: StructType = StructType(Seq(
+    StructField("timestamp", StringType),
+    StructField("plant_type", StringType),
+    StructField("region", StringType),
+    StructField("power_output", DoubleType),
+    StructField("demand", DoubleType),
+    StructField("grid_frequency", DoubleType)))
+
+  /** Parse `value` JSON → typed columns, convert the ISO timestamp, and
+    * enforce the reference's validation: required fields present and
+    * numeric (malformed rows → dropped, mirroring dropna). */
+  def parseTelemetry(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value"), telemetrySchema).as("r"))
+      .select(
+        to_timestamp(col("r.timestamp")).as("ts"),
+        col("r.plant_type"), col("r.region"),
+        col("r.power_output"), col("r.demand"), col("r.grid_frequency"))
+      .filter(col("ts").isNotNull && col("plant_type").isNotNull &&
+        col("power_output").isNotNull && col("demand").isNotNull &&
+        col("grid_frequency").isNotNull)
+}

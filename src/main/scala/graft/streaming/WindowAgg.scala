@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** st2_window_agg — watermarked tumbling-window aggregation per
+  * plant_type (SURVEY.md §2.H; the streaming form of the reference
+  * dashboard's per-entity rollups, app/app3_ML.py:185-214).
+  *
+  * Scale: windowed hash-agg with map-side partials; state store holds
+  * only open windows (watermark evicts closed ones), keyed by
+  * (plant_type, window) — bounded by cardinality(plant_type) ×
+  * windows-in-watermark, independent of input volume.
+  */
+object WindowAgg {
+
+  /** 1-minute tumbling stats per plant_type; late data beyond
+    * `watermark` is dropped (reference semantics: a batch that arrives
+    * after the window closed never re-opens it). */
+  def tumblingStats(parsed: DataFrame, watermark: String = "2 minutes",
+      window_ : String = "1 minute"): DataFrame =
+    parsed
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("plant_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        avg(col("power_output")).as("avg_power"),
+        min(col("power_output")).as("min_power"),
+        max(col("power_output")).as("max_power"),
+        avg(col("demand")).as("avg_demand"),
+        avg(col("grid_frequency")).as("avg_freq"))
+      .select(col("window.start").as("w_start"), col("plant_type"),
+        col("n"), col("avg_power"), col("min_power"), col("max_power"),
+        col("avg_demand"), col("avg_freq"))
+}

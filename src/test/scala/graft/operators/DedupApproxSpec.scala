@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** SURVEY.md §2.D d3/d4 — hash-algorithm ops verified against exact
+  * Jaccard (d2, itself DuckDB-oracle-checked) as the self-oracle. */
+class DedupApproxSpec extends SparkSpec {
+
+  test("minhash signature estimates Jaccard within tolerance") {
+    val a = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val b = ((1 to 45).map(i => s"tok$i") ++ (100 to 114).map(i => s"tok$i")).mkString(" ")
+    val sa = DedupApprox.minhashSig(a)
+    val sb = DedupApprox.minhashSig(b)
+    // shingle sets of a sliding 5-window over mostly-shared prefixes:
+    // exact Jaccard = |∩|/|∪| computed directly
+    def sh(t: String) = t.split(" ").sliding(5).map(_.mkString(" ")).toSet
+    val (xa, xb) = (sh(a), sh(b))
+    val exact = (xa & xb).size.toDouble / (xa | xb).size
+    val est = DedupApprox.estJaccard(sa, sb)
+    assert(math.abs(est - exact) < 0.15, s"est $est vs exact $exact")
+    // identical docs → identical signature, est 1.0
+    assert(DedupApprox.estJaccard(sa, DedupApprox.minhashSig(a)) == 1.0)
+  }
+
+  test("d3_minhash_lsh finds the high-Jaccard pairs d2 finds, no junk") {
+    val exact = Dedup.d2DedupNgram(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = DedupApprox.d3MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val strong = exact.filter(_._2 >= 0.7).keySet
+    val found = strong.intersect(lsh.keySet)
+    assert(strong.nonEmpty, "fixture should contain strong near-dups")
+    assert(found.size.toDouble / strong.size >= 0.8,
+      s"LSH recall ${found.size}/${strong.size} on jac>=0.7 pairs")
+    // no wild false positives: every LSH pair has real Jaccard >= 0.35
+    lsh.keySet.foreach { p =>
+      assert(exact.contains(p) || {
+        // below d2's 0.5 cut — recompute exact for this pair
+        val docs = graft.Tables.documents(spark, sf)
+          .select("doc_id", "text").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        def sh(t: String) = t.split(" ").sliding(5).map(_.mkString(" ")).toSet
+        val (xa, xb) = (sh(docs(p._1)), sh(docs(p._2)))
+        (xa & xb).size.toDouble / (xa | xb).size >= 0.35
+      }, s"pair $p looks like a false positive")
+    }
+  }
+
+  test("d4_simhash pairs match driver-side recomputation") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = DedupApprox.d4Simhash(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b, h) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      val expected = java.lang.Long.bitCount(
+        DedupApprox.simhash64(docs(a)) ^ DedupApprox.simhash64(docs(b)))
+      assert(h == expected && h <= 8, s"pair ($a,$b): got $h expected $expected")
+    }
+  }
+}

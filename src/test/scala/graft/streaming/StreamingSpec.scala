@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** SURVEY.md §2.H — st1..st4 driven through MemoryStream (real
+  * micro-batch execution, real state store), plus batch twins. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("st1_ingest parses valid telemetry JSON and drops malformed rows") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    val q = Ingest.parseTelemetry(in.toDF().withColumnRenamed("value", "value"))
+      .writeStream.format("memory").queryName("st1_out")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      """{"timestamp":"2024-01-01 00:00:01","plant_type":"solar","region":"north","power_output":120.5,"demand":99.0,"grid_frequency":50.01}""",
+      """{"timestamp":"2024-01-01 00:00:02","plant_type":"wind","region":"south","power_output":88.0,"demand":101.5,"grid_frequency":49.98}""",
+      """not json at all""",
+      """{"timestamp":"2024-01-01 00:00:03","plant_type":"hydro"}""")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("st1_out").orderBy("ts").collect()
+    assert(rows.length == 2) // malformed + missing-numerics dropped
+    assert(rows(0).getAs[String]("plant_type") == "solar")
+    assert(rows(0).getAs[Timestamp]("ts") == ts("2024-01-01 00:00:01"))
+    assert(rows(1).getAs[Double]("power_output") == 88.0)
+  }
+
+  test("st2_window_agg aggregates tumbling windows and watermark closes them") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String, Double, Double, Double)]
+    val parsed = in.toDF()
+      .toDF("ts", "plant_type", "power_output", "demand", "grid_frequency")
+    val q = WindowAgg.tumblingStats(parsed)
+      .writeStream.format("memory").queryName("st2_out")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      (ts("2024-01-01 00:00:10"), "solar", 100.0, 90.0, 50.0),
+      (ts("2024-01-01 00:00:50"), "solar", 110.0, 91.0, 50.0),
+      (ts("2024-01-01 00:01:10"), "solar", 120.0, 92.0, 50.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the 00:00 and 00:01 windows
+    in.addData((ts("2024-01-01 00:10:00"), "solar", 1.0, 1.0, 50.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("st2_out").orderBy("w_start").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Timestamp]("w_start") == ts("2024-01-01 00:00:00"))
+    assert(rows(0).getAs[Long]("n") == 2)
+    assert(rows(0).getAs[Double]("avg_power") == 105.0)
+    assert(rows(1).getAs[Long]("n") == 1)
+    assert(rows(1).getAs[Double]("max_power") == 120.0)
+  }
+
+  test("st3_sliding_detector flags a spike after warmup, carries state across batches") {
+    implicit val sc = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val in = MemoryStream[Reading]
+    val q = SlidingDetector.detect(in.toDS())
+      .writeStream.format("memory").queryName("st3_out")
+      .outputMode(OutputMode.Append).start()
+    // batch 1: warmup — 60 readings in a tight band (no flags possible
+    // for the first MinTrain rows; band keeps z small after)
+    val warm = (0 until 60).map(i =>
+      Reading(ts(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"), "solar",
+        100.0 + (i % 7) * 0.5, 90.0, 50.0))
+    in.addData(warm: _*)
+    q.processAllAvailable()
+    // batch 2: one extreme spike among normals — state (window of 60)
+    // must have carried over for the spike to be scored against it
+    in.addData(
+      Reading(ts("2024-01-01 00:02:00"), "solar", 101.0, 90.0, 50.0),
+      Reading(ts("2024-01-01 00:02:01"), "solar", 400.0, 90.0, 50.0),
+      Reading(ts("2024-01-01 00:02:02"), "solar", 102.0, 90.0, 50.0))
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("st3_out").collect()
+    assert(flagged.exists(r => r.getAs[Double]("power_output") == 400.0),
+      s"spike not flagged: ${flagged.mkString(";")}")
+    val spike = flagged.find(_.getAs[Double]("power_output") == 400.0).get
+    assert(math.abs(spike.getAs[Double]("zscore")) > SlidingDetector.ZThresh)
+    assert(spike.getAs[Double]("if_score") > SlidingDetector.IfThresh)
+    assert(!flagged.exists(r => r.getAs[Double]("power_output") <= 102.0),
+      "normal readings must not be flagged")
+  }
+
+  test("st4_generator is deterministic, 10% anomalies, non-negative, seasonal") {
+    val n = 8L * 3600 * 24 // one synthetic day at 8 Hz
+    val t = Generator.telemetry(spark.range(n).toDF("value")).cache()
+    val frac = t.filter(col("is_anomaly")).count().toDouble / n
+    assert(math.abs(frac - 0.10) < 0.01, s"anomaly fraction $frac")
+    assert(t.filter(col("power_output") < 0 || col("demand") < 0).count() == 0)
+    // determinism: same value → same record
+    val a = t.filter(col("seq") === 12345L).collect().head
+    val b = Generator.telemetry(spark.range(12345L, 12346L).toDF("value"))
+      .collect().head
+    assert(a == b)
+    // seasonality: demand at the daily peak hour exceeds the trough hour
+    val byHour = t.groupBy(hour(col("ts")).as("h"))
+      .agg(avg("demand").as("d")).collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(byHour.values.max > byHour.values.min * 1.2)
+    t.unpersist()
+  }
+}
