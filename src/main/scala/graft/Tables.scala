@@ -32,4 +32,12 @@ object Tables {
   }
   def documents(s: SparkSession, dir: String): DataFrame  = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
+
+  /** Spread a frame across all cores before a compute-bound per-row
+    * transform (shingling, hashing, signature computation). Text/vector
+    * rows are KB-sized but cost ms of CPU each, so byte-based input
+    * splits under-parallelize them — the round-robin repartition is one
+    * tiny shuffle that buys full-cluster fan-out. */
+  def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
 }

@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for embedding math over `array<float>`
+  * columns (SURVEY.md §4: custom codegen expressions for vector math —
+  * the hot path of d5/s1/s2 runs millions of pairs, and the HOF form
+  * (`aggregate(zip_with(...))`) allocates an intermediate array per row
+  * and re-traverses per aggregate. These generate a single fused loop
+  * with zero allocation, inside whole-stage codegen.
+  *
+  * Math is float→double (exact) with left-to-right summation, matching
+  * the DuckDB oracle to summation-order noise absorbed by round(..,6).
+  */
+
+/* Input typing: these expressions are constructed only by VectorOps over
+ * array<float> columns (AbstractDataType, the inputTypes vocabulary, is
+ * private[sql] in Spark 4, so ExpectsInputTypes isn't implementable from
+ * a library package). */
+
+/** Σ aᵢ·bᵢ in double precision. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}0 = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}0 += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = ${ev.value}0;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ aᵢ² in double precision. */
+case class VecNormSq(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    while (i < x.numElements()) {
+      val v = x.getFloat(i).toDouble; s += v * v; i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |double ${ev.value}0 = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double $v = (double) $a.getFloat($i);
+         |  ${ev.value}0 += $v * $v;
+         |}
+         |${ev.value} = ${ev.value}0;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Cosine similarity in ONE fused pass (dot + both norms per loop
+  * iteration) — the pairwise hot path for exact near-dup / brute ANN. */
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val u = x.getFloat(i).toDouble
+      val v = y.getFloat(i).toDouble
+      dot += u * v; na += u * u; nb += v * v; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val u = ctx.freshName("u")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $u = (double) $a.getFloat($i);
+         |  double $v = (double) $b.getFloat($i);
+         |  $dot += $u * $v; $na += $u * $u; $nb += $v * $v;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

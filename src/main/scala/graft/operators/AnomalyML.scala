@@ -25,13 +25,20 @@ object AnomalyML {
     * (the reference fits per plant_type on its feature set and flags
     * contamination-quantile outliers; here: score > 0.62).
     *
-    * The training pool is a deterministic pseudo-random sample per key
-    * (row_number over hash order, ≤1024 rows/key) — at 100 TB this stays
-    * a bounded driver collect no matter the table size. */
+    * The training pool is a deterministic pseudo-random sample per key:
+    * a cheap per-key count picks a hash-filter rate that leaves ≥ ~4k
+    * rows/key, the filtered sliver is rank-limited to 1024/key, and only
+    * that sliver ever shuffles — the full table never moves through the
+    * low-cardinality key partitioning (which would funnel 100 TB into
+    * #keys tasks), and the driver collect stays bounded at any scale. */
   def a1Isoforest(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+    val minCount = ev.groupBy("event_type").count()
+      .agg(min("count")).collect()(0).getLong(0)
+    val keep = math.max(1L, minCount / 4096)
     val w = Window.partitionBy("event_type").orderBy(xxhash64(col("event_id")), col("event_id"))
-    val pool = ev.withColumn("rn", row_number().over(w))
+    val pool = ev.filter(pmod(xxhash64(col("event_id")), lit(keep)) === 0)
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 1024)
       .select(col("event_type"), col("value"))
       .collect()

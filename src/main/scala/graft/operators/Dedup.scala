@@ -49,7 +49,7 @@ object Dedup {
     * shared-shingle candidate pairs, not n² — the scale-correct exact
     * form (hot-shingle frequency capping is the knob at 100 TB). */
   def d2DedupNgram(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
+    val sh = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("sh", expr(
         "array_distinct(transform(sequence(0, greatest(size(w) - 5, 0)), i -> concat_ws(' ', slice(w, i + 1, 5))))"))

@@ -61,7 +61,8 @@ object DedupApprox {
     * one shuffle on (band, bucket), one on candidate pairs. */
   def d3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val sigs = Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, t) => DocSig(id, minhashSig(t)) }
     val buckets = sigs.flatMap { d =>
@@ -110,7 +111,8 @@ object DedupApprox {
     * bucket-join, verify with popcount(xor) ≤ 8. */
   def d4Simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sims = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val sims = Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, t) => DocSim(id, simhash64(t)) }
       .toDF("doc_id", "sim")
