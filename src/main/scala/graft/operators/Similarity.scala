@@ -98,6 +98,49 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** s3_ivf — IVF (inverted-file) ANN: KMeans partitions the corpus
+    * into nlist=16 cells; each query probes only its nprobe=6 nearest
+    * cells, so the scanned fraction is ~nprobe/nlist of the corpus
+    * (nprobe is the recall/cost dial; 6/16 ≈ 0.6+ recall here because
+    * this corpus's neighbors are weakly similar and scatter across
+    * cells — tighter clusters probe fewer).
+    *
+    * Scale: the coarse quantizer (16×64 floats) is broadcast both ways —
+    * corpus cell assignment is a narrow map, and the probe join is a
+    * broadcast of (query × probed cell) against the cell-partitioned
+    * corpus; recall vs s1 is spec-tested. */
+  def s3Ivf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.spread(s, Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") >= 5)
+    val model = new KMeans().setK(16).setSeed(7L).setMaxIter(20)
+      .fit(corpus.select(array_to_vector(col("embedding")).as("features")))
+    val centers = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
+    val nearestCells = udf((v: Seq[Float], n: Int) =>
+      centers.value.zipWithIndex.map { case (ctr, ci) =>
+        var d = 0.0
+        var i = 0
+        while (i < ctr.length) { val df = v(i) - ctr(i); d += df * df; i += 1 }
+        (d, ci)
+      }.sortBy(_._1).take(n).map(_._2))
+    val cells = corpus
+      .withColumn("cell", nearestCells(col("embedding"), lit(1))(0))
+      .select(col("vec_id").as("cid"), col("embedding").as("ec"), col("cell"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"),
+        explode(nearestCells(col("embedding"), lit(6))).as("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    cells.join(broadcast(probes), "cell")
+      .withColumn("cos", VectorOps.cosine(col("eq"), col("ec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
+        col("rn").cast("int").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
   val oracle: Map[String, String] = Map(
     "s1_ann_brute" ->
       """WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
