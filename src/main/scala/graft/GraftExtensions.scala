@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{VecCosine, VecDot, VecNormSq}
+
+/** `SparkSessionExtensions` hook exposing graft's native expressions to
+  * SQL users:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions()) ...
+  * // or: spark.sql.extensions=graft.GraftExtensions
+  * spark.sql("SELECT vec_cosine(a.embedding, b.embedding) FROM ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[VecDot].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float arrays"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("vec_norm_sq"),
+      info("vec_norm_sq", "vec_norm_sq(a) - squared L2 norm of a float array"),
+      (args: Seq[Expression]) => VecNormSq(args(0))))
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity, one fused pass"),
+      (args: Seq[Expression]) => VecCosine(args(0), args(1))))
+  }
+}
