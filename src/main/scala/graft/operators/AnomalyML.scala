@@ -72,7 +72,7 @@ object AnomalyML {
       .select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("features"))
       .cache()
-    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(e)
+    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(10).fit(e)
     val centers = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
     val distUdf = udf((v: Seq[Float]) => {
       var best = Double.MaxValue

@@ -61,10 +61,15 @@ object DedupApprox {
     * one shuffle on (band, bucket), one on candidate pairs. */
   def d3MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // cache: signatures feed the bucket explode AND both sides of the
+    // candidate verification join — without it the (expensive) minhash
+    // map runs 3x. ~100 longs/doc, a bounded materialization at any
+    // scale (checkpoint to storage instead when corpus >> memory).
     val sigs = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, t) => DocSig(id, minhashSig(t)) }
+      .cache()
     val buckets = sigs.flatMap { d =>
       (0 until Bands).map { b =>
         val bh = MurmurHash3.arrayHash(d.sig.slice(b * RowsPerBand, (b + 1) * RowsPerBand), 7)
@@ -111,11 +116,14 @@ object DedupApprox {
     * bucket-join, verify with popcount(xor) ≤ 8. */
   def d4Simhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // cached for the same reason as d3's sigs: the chunk explode joins
+    // against itself, which would recompute the simhash map twice
     val sims = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, t) => DocSim(id, simhash64(t)) }
       .toDF("doc_id", "sim")
+      .cache()
     val chunks = sims.select(col("doc_id"), col("sim"),
         explode(expr("transform(sequence(0, 3), i -> named_struct('band', i, 'chunk', (sim >> (i * 16)) & 65535))")).as("c"))
       .select(col("doc_id"), col("sim"), col("c.band"), col("c.chunk"))
