@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** End-to-end reference loop: generated telemetry (with ground-truth
+  * anomaly markers) → Kafka-shaped JSON → schema-enforced parse →
+  * sliding-window detector. */
+class PipelineSpec extends SparkSpec {
+
+  test("end-to-end: detector flags correlate with injected anomalies") {
+    val n = 4000L
+    val truth = Generator.telemetry(spark.range(n).toDF("value"))
+      .select(col("ts"), col("plant_type"), col("is_anomaly"),
+        col("power_output"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getBoolean(2), r.getDouble(3))).toMap
+    val flagged = Pipeline.endToEndBatch(spark, n).collect()
+    assert(flagged.nonEmpty, "no anomalies flagged")
+    // every flagged row must round-trip to a generated record
+    assert(flagged.forall(f => truth.contains((f.ts, f.plant_type))))
+    val hits = flagged.count(f => truth((f.ts, f.plant_type))._1)
+    val precision = hits.toDouble / flagged.length
+    // recall over the *strong* anomalies (2.5x spikes stand far outside
+    // the seasonal band; 0.3x drops can hide inside it early on)
+    val strong = truth.filter { case (_, (anom, p)) => anom && p > 250.0 }
+    val strongHit = flagged.count(f =>
+      truth((f.ts, f.plant_type))._1 && f.power_output > 250.0)
+    info(s"flagged=${flagged.length} precision=$precision " +
+      s"strong=${strong.size} strongHit=$strongHit")
+    assert(precision >= 0.9, s"precision $precision")
+    assert(strong.nonEmpty)
+    assert(strongHit.toDouble / strong.size >= 0.85,
+      s"strong-spike recall ${strongHit.toDouble / strong.size}")
+  }
+
+  test("JSON round-trip preserves every field to the parsed schema") {
+    implicit val s = spark
+    val t = Generator.telemetry(spark.range(100L).toDF("value"))
+    val parsed = Ingest.parseTelemetry(Pipeline.toKafkaValue(t))
+    assert(parsed.count() == 100L)
+    val a = t.select("ts", "plant_type", "region", "power_output", "demand", "grid_frequency")
+      .orderBy("ts").collect()
+    val b = parsed.select("ts", "plant_type", "region", "power_output", "demand", "grid_frequency")
+      .orderBy("ts").collect()
+    assert(a.sameElements(b))
+  }
+}
