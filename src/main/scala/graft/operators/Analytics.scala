@@ -89,12 +89,15 @@ object Analytics {
     * Re-expresses the reference's "last N outliers per entity" table
     * (app3_ML.py:177-180) as a rank window. */
   def q4TopnWindow(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
-      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-    Tables.orders(s, dir)
-      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    // graft's custom top-k operator: partial per-partition k-heaps, so
+    // only <= k rows per (group, partition) reach the shuffle — vs the
+    // window-rank idiom's full shuffle + per-key sort (plans/TopKPerGroup)
+    graft.plans.TopKPerGroup.perKey(
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+      Seq(col("o_orderpriority")),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      .withColumnRenamed("rank", "rn")
       .orderBy("o_orderpriority", "rn")
   }
 

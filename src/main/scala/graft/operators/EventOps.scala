@@ -169,9 +169,12 @@ object EventOps {
     val z = (col("value") - col("mean")) / col("sd")
     val flagged = ev.join(broadcast(st), "event_type")
       .withColumn("z", z).filter(abs(col("z")) > 2)
-    val w = Window.partitionBy("event_type").orderBy(col("secs").desc, col("event_id").desc)
-    flagged.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+    // custom top-k operator (see plans/TopKPerGroup): bounded k-heaps
+    // replace the full per-key sort of the window-rank idiom
+    graft.plans.TopKPerGroup.perKey(flagged,
+        Seq(col("event_type")),
+        Seq(col("secs").desc, col("event_id").desc), 5)
+      .withColumnRenamed("rank", "rn")
       .select(col("event_id"), col("event_type"), col("value"), col("secs"),
         round(col("z"), 6).as("z"), col("rn"))
       .orderBy("event_type", "rn")

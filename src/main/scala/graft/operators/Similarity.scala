@@ -29,13 +29,13 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("ec"),
         sqrt(VectorOps.normSq(col("embedding"))).as("cn"))
     val cos = VectorOps.dot(col("eq"), col("ec")) / (col("qn") * col("cn"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    c.join(broadcast(q))
-      .withColumn("cos", cos)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
+    // custom top-k operator (plans/TopKPerGroup): per-partition k-heaps
+    // shuffle only candidate winners, never the full scored cross frame
+    graft.plans.TopKPerGroup.perKey(
+        c.join(broadcast(q)).withColumn("cos", cos),
+        Seq(col("qid")), Seq(col("cos").desc, col("cid")), 10)
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
-        col("rn").cast("int").as("rn"))
+        col("rank").as("rn"))
       .orderBy("qid", "rn")
   }
 
@@ -88,13 +88,11 @@ object Similarity {
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ec"),
       sqrt(VectorOps.normSq(col("embedding"))).as("cn"))
     val cos = VectorOps.dot(col("eq"), col("ec")) / (col("qn") * col("cn"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    cand.join(broadcast(q), "qid").join(c, "cid")
-      .withColumn("cos", cos)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
+    graft.plans.TopKPerGroup.perKey(
+        cand.join(broadcast(q), "qid").join(c, "cid").withColumn("cos", cos),
+        Seq(col("qid")), Seq(col("cos").desc, col("cid")), 10)
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
-        col("rn").cast("int").as("rn"))
+        col("rank").as("rn"))
       .orderBy("qid", "rn")
   }
 
@@ -131,13 +129,12 @@ object Similarity {
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("eq"),
         explode(nearestCells(col("embedding"), lit(6))).as("cell"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    cells.join(broadcast(probes), "cell")
-      .withColumn("cos", VectorOps.cosine(col("eq"), col("ec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 10)
+    graft.plans.TopKPerGroup.perKey(
+        cells.join(broadcast(probes), "cell")
+          .withColumn("cos", VectorOps.cosine(col("eq"), col("ec"))),
+        Seq(col("qid")), Seq(col("cos").desc, col("cid")), 10)
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
-        col("rn").cast("int").as("rn"))
+        col("rank").as("rn"))
       .orderBy("qid", "rn")
   }
 

@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Custom top-k operator vs the window-rank idiom: identical rows and
+  * ranks on real data, including k > group size and tie-breaking. */
+class TopKPerGroupSpec extends SparkSpec {
+
+  private def windowForm(k: Int) = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id"))
+    graft.Tables.events(spark, sf)
+      .select("event_id", "event_type", "value")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  private def topkForm(k: Int) =
+    TopKPerGroup.perKey(
+      graft.Tables.events(spark, sf).select("event_id", "event_type", "value"),
+      Seq(col("event_type")), Seq(col("value").desc, col("event_id")), k)
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("event_type", "event_id", "value", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+  test("matches window row_number for k=5") {
+    assert(asSet(topkForm(5)) == asSet(windowForm(5)))
+  }
+
+  test("matches window row_number when k exceeds every group size") {
+    assert(asSet(topkForm(100000)) == asSet(windowForm(100000)))
+  }
+
+  test("shuffles only the partial winners (plan shape)") {
+    val plan = topkForm(3).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"custom exec missing:\n$plan")
+    // partial phase must sit below the exchange, final above it
+    val lines = plan.linesIterator.toSeq
+    val partialIdx = lines.indexWhere(_.contains("TopKPerGroupPartial"))
+    val finalIdx = lines.indexWhere(l =>
+      l.contains("TopKPerGroup") && !l.contains("Partial"))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+    assert(finalIdx >= 0 && partialIdx >= 0 && exchangeIdx >= 0)
+    assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx,
+      s"expected final < exchange < partial in:\n$plan")
+  }
+
+  test("composes with downstream DataFrame ops") {
+    val out = topkForm(2).filter(col("rank") === 1)
+      .groupBy("event_type").agg(max("value").as("v")).collect()
+    assert(out.nonEmpty)
+  }
+}
