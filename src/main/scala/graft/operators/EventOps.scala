@@ -105,7 +105,10 @@ object EventOps {
   }
 
   /** e6_robust — median/MAD robust outliers (|robust z| > 3.5), two exact
-    * percentile passes + broadcast joins. */
+    * percentile passes + broadcast joins. (Exact `percentile` buffers a
+    * group's values in the aggregator — required for the bit-exact
+    * oracle; at real scale swap in approx_percentile/t-digest, same
+    * plan shape.) */
   def e6Robust(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
     val med = ev.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
