@@ -41,6 +41,7 @@ object SparkEntry {
     "e8_seasonal" -> (EventOps.e8Seasonal _),
     "e9_rate" -> (EventOps.e9Rate _),
     "e10_top_outliers" -> (EventOps.e10TopOutliers _),
+    "e11_asof" -> (AsOf.e11Asof _),
     // §2.D dedup / §2.E similarity / §2.F text
     "d1_dedup_exact" -> (Dedup.d1DedupExact _),
     "d5_embed_neardup" -> (Dedup.d5EmbedNeardup _),
@@ -67,5 +68,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracle ++ EventOps.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ TextOps.oracle
+      Similarity.oracle ++ TextOps.oracle ++ AsOf.oracle
 }
