@@ -95,6 +95,26 @@ class StreamingSpec extends SparkSpec {
       "normal readings must not be flagged")
   }
 
+  test("st5_stream_dedup drops replayed records within the watermark") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val parsed = in.toDF().toDF("ts", "plant_type", "power_output")
+    val q = StreamDedup.byContent(parsed)
+      .writeStream.format("memory").queryName("st5_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    val r1 = (ts("2024-01-01 00:00:01"), "solar", 100.0)
+    val r2 = (ts("2024-01-01 00:00:02"), "wind", 90.0)
+    in.addData(r1, r2, r1) // duplicate within one batch
+    q.processAllAvailable()
+    in.addData(r2) // replay in a later batch, still inside watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("st5_out").collect()
+    assert(rows.length == 2, s"expected 2 distinct records, got ${rows.length}")
+    assert(rows.map(_.getAs[String]("plant_type")).toSet == Set("solar", "wind"))
+  }
+
   test("st4_generator is deterministic, 10% anomalies, non-negative, seasonal") {
     val n = 8L * 3600 * 24 // one synthetic day at 8 Hz
     val t = Generator.telemetry(spark.range(n).toDF("value")).cache()
