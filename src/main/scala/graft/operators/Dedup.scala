@@ -43,19 +43,34 @@ object Dedup {
       .orderBy("a", "b")
   }
 
-  /** d2_dedup_ngram — exact 5-word-shingle Jaccard near-dup pairs
-    * (jac ≥ 0.5) via an inverted shingle index: explode distinct shingles,
-    * self-join on shingle, count common, compute |A∩B|/|A∪B|. Cost tracks
-    * shared-shingle candidate pairs, not n² — the scale-correct exact
-    * form (hot-shingle frequency capping is the knob at 100 TB). */
+  /** Shingles appearing in more documents than this are dropped from
+    * the index AND from the Jaccard universe (stopword-shingle removal,
+    * mirrored exactly in the DuckDB oracle). This is the knob that
+    * bounds the self-join at 100 TB: a shingle shared by f docs emits
+    * f² candidate pairs, so join cost is Σf² over kept shingles —
+    * capped at MaxShingleDf² per shingle instead of unbounded. */
+  val MaxShingleDf = 100
+
+  /** d2_dedup_ngram — 5-word-shingle Jaccard near-dup pairs (jac ≥ 0.5,
+    * over the doc-frequency-capped shingle space) via an inverted
+    * shingle index: explode distinct shingles, drop hot shingles,
+    * self-join on shingle, count common, compute |A∩B|/|A∪B|. Cost
+    * tracks shared-shingle candidate pairs, never n². */
   def d2DedupNgram(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.spread(s, Tables.documents(s, dir))
+    val exploded = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("sh", expr(
         "array_distinct(transform(sequence(0, greatest(size(w) - 5, 0)), i -> concat_ws(' ', slice(w, i + 1, 5))))"))
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("g"))
-    val x = sh.select(col("doc_id").as("a"), col("n_sh").as("na"), col("g").as("ga"))
-    val y = sh.select(col("doc_id").as("b"), col("n_sh").as("nb"), col("g").as("gb"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    // doc-frequency cap: one map-side-combined agg, broadcast-free
+    // semi-join back (the kept-shingle set shuffles with the index)
+    val kept = exploded.groupBy("g").count()
+      .filter(col("count") <= MaxShingleDf).select("g")
+    val sh = exploded.join(kept, "g")
+    val counted = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val idx = sh.join(counted, "doc_id")
+    val x = idx.select(col("doc_id").as("a"), col("n_sh").as("na"), col("g").as("ga"))
+    val y = idx.select(col("doc_id").as("b"), col("n_sh").as("nb"), col("g").as("gb"))
     val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
     x.join(y, col("ga") === col("gb") && col("a") < col("b"))
       .groupBy("a", "b", "na", "nb")
@@ -79,18 +94,22 @@ object Dedup {
         | FROM documents GROUP BY md5(text)) t
         |ORDER BY keeper""".stripMargin,
     "d2_dedup_ngram" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |s AS (SELECT doc_id, list_distinct(list_transform(
-        |        range(greatest(len(w) - 4, 1)),
-        |        i -> array_to_string(w[i + 1:i + 5], ' '))) AS sh FROM d),
-        |p AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS g FROM s),
-        |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
-        |         COUNT(*) AS common
-        |       FROM p x JOIN p y ON x.g = y.g AND x.doc_id < y.doc_id
-        |       GROUP BY 1, 2, 3, 4)
-        |SELECT a, b, ROUND(common * 1.0 / (na + nb - common), 6) AS jac
-        |FROM pr WHERE common * 1.0 / (na + nb - common) >= 0.5
-        |ORDER BY a, b""".stripMargin,
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |        range(greatest(len(w) - 4, 1)),
+         |        i -> array_to_string(w[i + 1:i + 5], ' '))) AS sh FROM d),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |kept AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= $MaxShingleDf),
+         |p0 AS (SELECT e.doc_id, e.g FROM e JOIN kept USING (g)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM p0 GROUP BY doc_id),
+         |p AS (SELECT p0.doc_id, n_sh, g FROM p0 JOIN cnt USING (doc_id)),
+         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+         |         COUNT(*) AS common
+         |       FROM p x JOIN p y ON x.g = y.g AND x.doc_id < y.doc_id
+         |       GROUP BY 1, 2, 3, 4)
+         |SELECT a, b, ROUND(common * 1.0 / (na + nb - common), 6) AS jac
+         |FROM pr WHERE common * 1.0 / (na + nb - common) >= 0.5
+         |ORDER BY a, b""".stripMargin,
     "d5_embed_neardup" ->
       s"""WITH $explodeCte,
          |dots AS (SELECT ea.vec_id AS a, eb.vec_id AS b, SUM(ea.x * eb.x) AS dot
