@@ -15,6 +15,19 @@ import graft.functions.{VecCosine, VecDot, VecNormSq}
   * spark.sql("SELECT vec_cosine(a.embedding, b.embedding) FROM ...")
   * }}}
   */
+object GraftExtensions {
+  /** Register graft's SQL functions on an already-built session (for
+    * sessions not constructed through GraftSession/withExtensions). */
+  def registerInto(s: org.apache.spark.sql.SparkSession): Unit = {
+    org.apache.spark.sql.GraftShim.registerFunction(s, "vec_dot",
+      args => VecDot(args(0), args(1)))
+    org.apache.spark.sql.GraftShim.registerFunction(s, "vec_norm_sq",
+      args => VecNormSq(args(0)))
+    org.apache.spark.sql.GraftShim.registerFunction(s, "vec_cosine",
+      args => VecCosine(args(0), args(1)))
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
