@@ -62,6 +62,9 @@ object Dedup {
       .withColumn("sh", expr(
         "array_distinct(transform(sequence(0, greatest(size(w) - 5, 0)), i -> concat_ws(' ', slice(w, i + 1, 5))))"))
       .select(col("doc_id"), explode(col("sh")).as("g"))
+      // cached: feeds both the doc-frequency count and the index join —
+      // uncached, the shingle transform+explode would run twice
+      .cache()
     // doc-frequency cap: one map-side-combined agg, broadcast-free
     // semi-join back (the kept-shingle set shuffles with the index)
     val kept = exploded.groupBy("g").count()
