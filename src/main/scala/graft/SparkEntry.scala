@@ -42,6 +42,7 @@ object SparkEntry {
     "e9_rate" -> (EventOps.e9Rate _),
     "e10_top_outliers" -> (EventOps.e10TopOutliers _),
     "e11_asof" -> (AsOf.e11Asof _),
+    "e12_range_join" -> (RangeJoin.e12RangeJoin _),
     // §2.D dedup / §2.E similarity / §2.F text
     "d1_dedup_exact" -> (Dedup.d1DedupExact _),
     "d5_embed_neardup" -> (Dedup.d5EmbedNeardup _),
@@ -68,5 +69,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracle ++ EventOps.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ TextOps.oracle ++ AsOf.oracle
+      Similarity.oracle ++ TextOps.oracle ++ AsOf.oracle ++ RangeJoin.oracle
 }
