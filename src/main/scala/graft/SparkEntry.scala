@@ -50,6 +50,7 @@ object SparkEntry {
     "t2_quality" -> (TextOps.t2Quality _),
     "t3_tokens" -> (TextOps.t3Tokens _),
     "t5_doc_stats" -> (TextOps.t5DocStats _),
+    "t6_ngram_counts" -> (TextOps.t6NgramCounts _),
     "d2_dedup_ngram" -> (Dedup.d2DedupNgram _),
     // rows-only ops (hash/ML-algorithm-defined; spec-tested, no SQL oracle)
     "d3_minhash_lsh" -> (DedupApprox.d3MinhashLsh _),
@@ -62,6 +63,7 @@ object SparkEntry {
     "a3_kmeans_outlier" -> (AnomalyML.a3KmeansOutlier _),
     "s3_ivf" -> (Similarity.s3Ivf _),
     "m1_binary_meta" -> (Multimodal.m1BinaryMeta _),
+    "i1_stratified_sample" -> (Sampling.i1StratifiedSample _),
     "m2_feature_stub" -> ((s, d) => Multimodal.m2FeatureStub(s, d))
   )
 

@@ -55,6 +55,23 @@ object TextOps {
       .orderBy("source", "lang")
   }
 
+  /** t6_ngram_counts — corpus-wide word-bigram frequencies, top 100 by
+    * count (vocabulary/frequency tables are the first artifact a
+    * training-data pipeline derives). Explode is a narrow map; the
+    * count is one map-side-combined hash agg; top-100 is a single
+    * all-to-one heap (k bounded) — at 100 TB the agg output (distinct
+    * bigrams) is the only thing that shuffles. */
+  def t6NgramCounts(s: SparkSession, dir: String): DataFrame = {
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(explode(expr(
+        "transform(sequence(0, greatest(size(split(text, ' ')) - 2, 0)), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(100)
+  }
+
   /** Per-language marker-word profiles (tiny embedded stopword lists —
     * the n-gram-profile approach of Cavnar & Trenkle 1994, reduced to
     * word unigrams). Column-only: stays in whole-stage codegen. */
@@ -101,6 +118,12 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "t6_ngram_counts" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT unnest(list_transform(range(greatest(len(w) - 1, 1)),
+        |        i -> array_to_string(w[i + 1:i + 2], ' '))) AS bigram FROM w)
+        |SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 100""".stripMargin,
     "t2_quality" ->
       """SELECT doc_id,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
