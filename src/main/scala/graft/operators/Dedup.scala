@@ -71,7 +71,8 @@ object Dedup {
       .filter(col("count") <= MaxShingleDf).select("g")
     val sh = exploded.join(kept, "g")
     val counted = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val idx = sh.join(counted, "doc_id")
+    // cached: idx is both sides of the pair self-join
+    val idx = sh.join(counted, "doc_id").cache()
     val x = idx.select(col("doc_id").as("a"), col("n_sh").as("na"), col("g").as("ga"))
     val y = idx.select(col("doc_id").as("b"), col("n_sh").as("nb"), col("g").as("gb"))
     val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
