@@ -113,7 +113,7 @@ object Similarity {
     val e = Tables.spread(s, Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding"))
     val corpus = e.filter(col("vec_id") >= 5)
-    val model = new KMeans().setK(16).setSeed(7L).setMaxIter(20)
+    val model = new KMeans().setK(16).setSeed(7L).setMaxIter(10)
       .fit(corpus.select(array_to_vector(col("embedding")).as("features")))
     val centers = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
     val nearestCells = udf((v: Seq[Float], n: Int) =>
