@@ -113,8 +113,16 @@ object Similarity {
     val e = Tables.spread(s, Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding"))
     val corpus = e.filter(col("vec_id") >= 5)
-    val model = new KMeans().setK(16).setSeed(7L).setMaxIter(10)
-      .fit(corpus.select(array_to_vector(col("embedding")).as("features")))
+    // the coarse quantizer trains on a bounded deterministic sample
+    // (standard IVF practice: ~100k vectors regardless of corpus size)
+    // on few partitions — tiny data, and per-iteration task overhead
+    // dominates the fit otherwise
+    val n = corpus.count()
+    val trainFrac = math.min(1.0, 100000.0 / math.max(n, 1L))
+    val train = Sampling.uniform(corpus, col("vec_id"), trainFrac)
+      .select(array_to_vector(col("embedding")).as("features"))
+      .coalesce(8)
+    val model = new KMeans().setK(16).setSeed(7L).setMaxIter(10).fit(train)
     val centers = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
     val nearestCells = udf((v: Seq[Float], n: Int) =>
       centers.value.zipWithIndex.map { case (ctr, ci) =>
