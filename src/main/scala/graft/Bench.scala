@@ -25,18 +25,26 @@ object Bench {
     // single run can absorb 10-100x transient contention; min-of-N is
     // the standard robust estimator of the true cost
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val dt = (1 to 2).map { _ =>
+      // a query that throws is a FAILURE, never a timing — recording the
+      // elapsed time of an instant crash would let a regression read as
+      // a speedup. Failed queries report -1.0 and land in "failed".
+      val dts = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9)
+        } catch { case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          None
+        }
+      }
+      val dt = if (dts.isEmpty) -1.0 else dts.min
       System.err.println(f"[bench] $name%-22s $dt%8.2f s")
       name -> dt
     }
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

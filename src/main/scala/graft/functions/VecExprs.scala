@@ -39,13 +39,14 @@ case class VecDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}0 = 0.0;
+         |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}0 += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = ${ev.value}0;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -71,13 +72,14 @@ case class VecNormSq(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i")
       val v = ctx.freshName("v")
+      val acc = ctx.freshName("acc")
       s"""
-         |double ${ev.value}0 = 0.0;
+         |double $acc = 0.0;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
          |  double $v = (double) $a.getFloat($i);
-         |  ${ev.value}0 += $v * $v;
+         |  $acc += $v * $v;
          |}
-         |${ev.value} = ${ev.value}0;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

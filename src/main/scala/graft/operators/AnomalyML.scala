@@ -98,9 +98,15 @@ object AnomalyML {
     // at real scale swap percentile → approx_percentile, same plan shape
     val fence = scored.agg(expr("percentile(dist, 0.98)"))
       .collect()(0).getDouble(0)
+    // materialize the (bounded: 2% of rows) result off the cache, then
+    // drop both caches — they must not outlive the operator call in a
+    // long-lived session (ADVICE r1). localCheckpoint blocks are freed
+    // by the ContextCleaner once the result frame is unreferenced.
     val out = scored.filter(col("dist") > fence)
       .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
       .orderBy("vec_id")
+      .localCheckpoint(true)
+    scored.unpersist()
     e.unpersist()
     out
   }

@@ -76,12 +76,18 @@ object Dedup {
     val x = idx.select(col("doc_id").as("a"), col("n_sh").as("na"), col("g").as("ga"))
     val y = idx.select(col("doc_id").as("b"), col("n_sh").as("nb"), col("g").as("gb"))
     val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
-    x.join(y, col("ga") === col("gb") && col("a") < col("b"))
+    // materialize the (tiny: near-dup pairs) result, then release both
+    // caches so they don't accumulate across calls in a shared session
+    val out = x.join(y, col("ga") === col("gb") && col("a") < col("b"))
       .groupBy("a", "b", "na", "nb")
       .agg(count(lit(1)).as("common"))
       .filter(jac >= 0.5)
       .select(col("a"), col("b"), round(jac, 6).as("jac"))
       .orderBy("a", "b")
+      .localCheckpoint(true)
+    idx.unpersist()
+    exploded.unpersist()
+    out
   }
 
   /** Shared DuckDB CTE: explode embeddings to (vec_id, position, value)

@@ -84,11 +84,16 @@ object DedupApprox {
     val sa = sigs.toDF("a", "siga")
     val sb = sigs.toDF("b", "sigb")
     val est = udf((x: Seq[Long], y: Seq[Long]) => estJaccard(x.toArray, y.toArray))
-    cands.join(sa, "a").join(sb, "b")
+    // materialize the (tiny) pair list, then release the signature
+    // cache — caches must not outlive the operator call (ADVICE r1)
+    val out = cands.join(sa, "a").join(sb, "b")
       .withColumn("est_jac", est(col("siga"), col("sigb")))
       .filter(col("est_jac") >= 0.5)
       .select(col("a"), col("b"), round(col("est_jac"), 6).as("est_jac"))
       .orderBy("a", "b")
+      .localCheckpoint(true)
+    sigs.unpersist()
+    out
   }
 
   private[graft] def fnv1a64(sd: String): Long = {
@@ -133,9 +138,12 @@ object DedupApprox {
       .select(col("x.doc_id").as("a"), col("x.sim").as("sa"),
         col("y.doc_id").as("b"), col("y.sim").as("sb"))
       .distinct()
-    cand.withColumn("hamming", bit_count(expr("sa ^ sb")))
+    val out = cand.withColumn("hamming", bit_count(expr("sa ^ sb")))
       .filter(col("hamming") <= 8)
       .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
       .orderBy("a", "b")
+      .localCheckpoint(true)
+    sims.unpersist()
+    out
   }
 }

@@ -46,9 +46,16 @@ object Multimodal {
     * locality, vector output — is real.
     *
     * Scale: narrow mapPartitions, no shuffle; batch size bounds peak
-    * memory per task exactly as Arrow batch size does for Pandas UDFs. */
+    * memory per task exactly as Arrow batch size does for Pandas UDFs.
+    *
+    * The feature vector is emitted as fixed-width scalar columns f0..f7
+    * (not one array column): downstream tabular consumers — including
+    * the driver's pandas-side rows check, which can't sort/hash ndarray
+    * cells — expect flat columns, and a fixed-dim feature is exactly a
+    * fixed set of columns. */
   def m2FeatureStub(s: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
     import s.implicits._
+    val dims = 8
     Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[BinDoc]
@@ -57,7 +64,7 @@ object Multimodal {
           // STUB decode: stands in for e.g. JPEG decode + CNN features.
           // 8-dim feature = byte-range histogram, L1-normalized.
           batch.map { d =>
-            val hist = new Array[Double](8)
+            val hist = new Array[Double](dims)
             d.payload.foreach { b => hist((b & 0xff) >> 5) += 1.0 }
             val n = math.max(d.payload.length, 1)
             (d.doc_id, batch.size,
@@ -66,6 +73,8 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "batch_n", "features")
+      .select(col("doc_id") +: col("batch_n") +:
+        (0 until dims).map(i => col("features")(i).as(s"f$i")): _*)
       .orderBy("doc_id")
   }
 

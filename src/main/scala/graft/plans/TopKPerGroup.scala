@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnknownPartitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnknownPartitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.IntegerType
 
@@ -66,7 +66,13 @@ object TopKPerGroup {
       else UnknownPartitioning(conf.numShufflePartitions)
 
     override def requiredChildDistribution: Seq[Distribution] =
-      if (partial || group.isEmpty) Seq(UnspecifiedDistribution)
+      if (partial) Seq(UnspecifiedDistribution)
+      // global (ungrouped) top-k: the merge phase MUST see every
+      // partial winner in one place, else it would emit a top-k per
+      // partition (ADVICE r1) — AllTuples plans the single-partition
+      // exchange, and the partial phase has already cut it to ≤ k rows
+      // per input partition, so the funnel is tiny
+      else if (group.isEmpty) Seq(AllTuples)
       else Seq(ClusteredDistribution(group))
 
     override protected def doExecute(): RDD[InternalRow] = {

@@ -17,17 +17,21 @@ object StreamJoin {
 
   /** Inner-join `left` and `right` on `key` where
     * `right.ts ∈ [left.ts − boundSeconds, left.ts + boundSeconds]`.
-    * Column names must be disjoint apart from `key`; both frames need
-    * an event-time column named by `leftTs`/`rightTs`. */
+    * The event-time columns may share a name across the two sides (the
+    * condition is dataset-qualified); other columns should be disjoint
+    * so the joined output is unambiguous to select from. */
   def withinInterval(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, boundSeconds: Long,
       watermark: String = "2 minutes"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
+    // dataset-qualified columns throughout the condition: both streams
+    // commonly name their event time identically (e.g. "ts"), and an
+    // unqualified col(ts) would fail analysis as ambiguous (ADVICE r1)
     l.join(r,
       l(key) === r(key) &&
-        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $boundSeconds SECONDS") &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $boundSeconds SECONDS"))
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $boundSeconds SECONDS") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $boundSeconds SECONDS"))
       .drop(r(key))
   }
 }

@@ -30,16 +30,20 @@ class Round2OpsSpec extends SparkSpec {
   }
 
   test("m2_feature_stub: batched, L1-normalized, deterministic features") {
-    val rows = Multimodal.m2FeatureStub(spark, sf, batchSize = 64).collect()
+    val out = Multimodal.m2FeatureStub(spark, sf, batchSize = 64)
+    // fixed-dim feature = flat scalar columns (sortable/hashable by any
+    // tabular consumer, incl. the driver's pandas rows check)
+    assert(out.columns.toSeq == "doc_id" +: "batch_n" +: (0 until 8).map(i => s"f$i"))
+    val rows = out.collect()
     assert(rows.length == graft.Tables.documents(spark, sf).count())
+    def feats(r: org.apache.spark.sql.Row): Seq[Double] =
+      (2 until 10).map(r.getDouble)
     rows.foreach { r =>
       assert(r.getInt(1) <= 64 && r.getInt(1) >= 1) // batch sizes bounded
-      val feats = r.getSeq[Double](2)
-      assert(feats.length == 8)
-      assert(math.abs(feats.sum - 1.0) < 1e-3, s"not L1-normalized: $feats")
+      assert(math.abs(feats(r).sum - 1.0) < 1e-3, s"not L1-normalized: ${feats(r)}")
     }
     val again = Multimodal.m2FeatureStub(spark, sf, batchSize = 64).collect()
-    assert(rows.map(r => (r.getLong(0), r.getSeq[Double](2))).toSeq ==
-      again.map(r => (r.getLong(0), r.getSeq[Double](2))).toSeq)
+    assert(rows.map(r => (r.getLong(0), feats(r))).toSeq ==
+      again.map(r => (r.getLong(0), feats(r))).toSeq)
   }
 }

@@ -49,6 +49,20 @@ class TopKPerGroupSpec extends SparkSpec {
       s"expected final < exchange < partial in:\n$plan")
   }
 
+  test("empty group = single global top-k, not per-partition top-ks") {
+    val k = 7
+    val out = TopKPerGroup.perKey(
+        graft.Tables.events(spark, sf).select("event_id", "event_type", "value"),
+        Seq.empty, Seq(col("value").desc, col("event_id")), k)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getInt(3)))
+    val expect = graft.Tables.events(spark, sf)
+      .select("event_id", "event_type", "value")
+      .orderBy(col("value").desc, col("event_id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getLong(0), r.getDouble(2), i + 1) }
+    assert(out.sortBy(_._3).toSeq == expect.toSeq)
+  }
+
   test("composes with downstream DataFrame ops") {
     val out = topkForm(2).filter(col("rank") === 1)
       .groupBy("event_type").agg(max("value").as("v")).collect()

@@ -140,6 +140,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("power_output") == 100.0)
   }
 
+  test("st6_stream_join supports the same event-time column name on both sides") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val readings = MemoryStream[(Timestamp, String, Double)]
+    val alerts = MemoryStream[(Timestamp, String, String)]
+    // both sides name their event time "ts" — the common case (ADVICE r1)
+    val l = readings.toDF().toDF("ts", "plant_type", "power_output")
+    val r = alerts.toDF().toDF("ts", "plant_type", "alert")
+    val q = StreamJoin.withinInterval(l, r, "plant_type", "ts", "ts", 60L)
+      .writeStream.format("memory").queryName("st6_same_ts_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    readings.addData((ts("2024-01-01 00:10:00"), "solar", 100.0))
+    alerts.addData(
+      (ts("2024-01-01 00:10:30"), "solar", "overload"), // within 60s
+      (ts("2024-01-01 00:15:00"), "solar", "late"))     // outside bound
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("st6_same_ts_out").collect()
+    assert(rows.length == 1, s"expected the bounded match: ${rows.mkString(";")}")
+    assert(rows.head.getAs[String]("alert") == "overload")
+  }
+
   test("st4_generator is deterministic, 10% anomalies, non-negative, seasonal") {
     val n = 8L * 3600 * 24 // one synthetic day at 8 Hz
     val t = Generator.telemetry(spark.range(n).toDF("value")).cache()
