@@ -72,7 +72,18 @@ object AnomalyML {
       .select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("features"))
       .cache()
-    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(10).fit(e)
+    // fit on a bounded deterministic sample, few partitions, random
+    // init: centroid quality needs ~10⁴–10⁵ vectors regardless of
+    // corpus size, and k-means|| init alone costs ~2 passes (several
+    // jobs) over the input — random init + coalesce keeps the fit at
+    // a handful of tiny jobs while scoring stays full-corpus
+    val n = e.count()
+    val trainFrac = math.min(1.0, 100000.0 / math.max(n, 1L))
+    val train = Sampling.uniform(e, col("vec_id"), trainFrac)
+      .select(col("features")).coalesce(8).cache()
+    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(10)
+      .setInitMode("random").fit(train)
+    train.unpersist()
     val centers = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
     val distUdf = udf((v: Seq[Float]) => {
       var best = Double.MaxValue

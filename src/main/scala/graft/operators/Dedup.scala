@@ -55,13 +55,23 @@ object Dedup {
     * over the doc-frequency-capped shingle space) via an inverted
     * shingle index: explode distinct shingles, drop hot shingles,
     * self-join on shingle, count common, compute |A∩B|/|A∪B|. Cost
-    * tracks shared-shingle candidate pairs, never n². */
+    * tracks shared-shingle candidate pairs, never n².
+    *
+    * Shuffle discipline: the shingle STRING never leaves the map side —
+    * it is hashed to 64 bits right after the explode, so the df-cap agg
+    * and the candidate self-join move fixed-width longs instead of
+    * ~40-byte strings (this was the single biggest shuffle in the
+    * engine). A 64-bit hash is collision-safe to ~10⁹ distinct shingles
+    * (p ≈ n²/2⁶⁵); above that swap in a 128-bit hash, same plan. The
+    * per-doc shingle counts join the AGGREGATED pair table (near-dup
+    * pairs, tiny) rather than widening every index row before the join. */
   def d2DedupNgram(s: SparkSession, dir: String): DataFrame = {
     val exploded = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("sh", expr(
         "array_distinct(transform(sequence(0, greatest(size(w) - 5, 0)), i -> concat_ws(' ', slice(w, i + 1, 5))))"))
-      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .select(col("doc_id"), explode(col("sh")).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
       // cached: feeds both the doc-frequency count and the index join —
       // uncached, the shingle transform+explode would run twice
       .cache()
@@ -69,18 +79,20 @@ object Dedup {
     // semi-join back (the kept-shingle set shuffles with the index)
     val kept = exploded.groupBy("g").count()
       .filter(col("count") <= MaxShingleDf).select("g")
-    val sh = exploded.join(kept, "g")
-    val counted = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // cached: idx is both sides of the pair self-join
-    val idx = sh.join(counted, "doc_id").cache()
-    val x = idx.select(col("doc_id").as("a"), col("n_sh").as("na"), col("g").as("ga"))
-    val y = idx.select(col("doc_id").as("b"), col("n_sh").as("nb"), col("g").as("gb"))
+    // cached: the index is both sides of the pair self-join
+    val idx = exploded.join(kept, "g").cache()
+    val counted = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val x = idx.select(col("doc_id").as("a"), col("g").as("ga"))
+    val y = idx.select(col("doc_id").as("b"), col("g").as("gb"))
+    val pairs = x.join(y, col("ga") === col("gb") && col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"))
     val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
     // materialize the (tiny: near-dup pairs) result, then release both
     // caches so they don't accumulate across calls in a shared session
-    val out = x.join(y, col("ga") === col("gb") && col("a") < col("b"))
-      .groupBy("a", "b", "na", "nb")
-      .agg(count(lit(1)).as("common"))
+    val out = pairs
+      .join(counted.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .join(counted.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
       .filter(jac >= 0.5)
       .select(col("a"), col("b"), round(jac, 6).as("jac"))
       .orderBy("a", "b")

@@ -121,8 +121,13 @@ object Similarity {
     val trainFrac = math.min(1.0, 100000.0 / math.max(n, 1L))
     val train = Sampling.uniform(corpus, col("vec_id"), trainFrac)
       .select(array_to_vector(col("embedding")).as("features"))
-      .coalesce(8)
-    val model = new KMeans().setK(16).setSeed(7L).setMaxIter(10).fit(train)
+      .coalesce(8).cache()
+    // random init: k-means|| spends ~2 extra passes (several jobs)
+    // picking seeds — pointless for a coarse quantizer on a bounded
+    // cached sample, where 10 Lloyd iterations converge either way
+    val model = new KMeans().setK(16).setSeed(7L).setMaxIter(10)
+      .setInitMode("random").fit(train)
+    train.unpersist()
     val centers = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
     val nearestCells = udf((v: Seq[Float], n: Int) =>
       centers.value.zipWithIndex.map { case (ctr, ci) =>
