@@ -52,18 +52,23 @@ object SparkEntry {
     "t5_doc_stats" -> (TextOps.t5DocStats _),
     "t6_ngram_counts" -> (TextOps.t6NgramCounts _),
     "d2_dedup_ngram" -> (Dedup.d2DedupNgram _),
+    "d4_simhash" -> (DedupApprox.d4Simhash _),
+    "d6_contamination" -> (Dedup.d6Contamination _),
+    "t4_fingerprint" -> (TextOps.t4Fingerprint _),
+    "t7_vocab_scrub" -> (TextOps.t7VocabScrub _),
+    // §2.I pipeline utilities (portable-hash deterministic sampling)
+    "i1_stratified_sample" -> (Sampling.i1StratifiedSample _),
+    "i2_split_assign" -> (Sampling.i2SplitAssign _),
+    "i3_mixture" -> (Sampling.i3Mixture _),
     // rows-only ops (hash/ML-algorithm-defined; spec-tested, no SQL oracle)
     "d3_minhash_lsh" -> (DedupApprox.d3MinhashLsh _),
-    "d4_simhash" -> (DedupApprox.d4Simhash _),
     "s2_ann_lsh" -> (Similarity.s2AnnLsh _),
     "t1_langid" -> (TextOps.t1Langid _),
-    "t4_fingerprint" -> (TextOps.t4Fingerprint _),
     "a1_isoforest" -> (AnomalyML.a1Isoforest _),
     "a2_ewma" -> (AnomalyML.a2Ewma _),
     "a3_kmeans_outlier" -> (AnomalyML.a3KmeansOutlier _),
     "s3_ivf" -> (Similarity.s3Ivf _),
     "m1_binary_meta" -> (Multimodal.m1BinaryMeta _),
-    "i1_stratified_sample" -> (Sampling.i1StratifiedSample _),
     "m2_feature_stub" -> ((s, d) => Multimodal.m2FeatureStub(s, d))
   )
 
@@ -71,5 +76,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracle ++ EventOps.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ TextOps.oracle ++ AsOf.oracle ++ RangeJoin.oracle
+      DedupApprox.oracle ++ Similarity.oracle ++ TextOps.oracle ++
+      AsOf.oracle ++ RangeJoin.oracle ++ Sampling.oracle
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorOps
+import graft.functions.{PortableHash, VectorOps}
 
 /** Deduplication for LLM-data pipelines (SURVEY.md §2.D), over the
   * `documents` / `embeddings` tables.
@@ -102,6 +102,40 @@ object Dedup {
     out
   }
 
+  /** d6_contamination — train/test decontamination check: a 10%
+    * hash-assigned test split is scanned for 8-word shingles that also
+    * occur anywhere in the train split; per test doc, report how many of
+    * its distinct shingles are contaminated. This is the benchmark-
+    * leakage audit every pretraining corpus needs before eval.
+    *
+    * Scale shape mirrors d2: shingles are hashed to 64-bit longs right
+    * after the per-doc transform (strings never shuffle); the train-side
+    * set is a hash-distinct (map-side combined), and the membership
+    * probe is an equi-join on fixed-width keys whose cost tracks
+    * test-corpus shingle count, never |test|×|train|. [sql-oracle]
+    * (DuckDB recomputes on the raw shingle strings — identical modulo
+    * 64-bit collisions, i.e. exactly, at any feasible corpus). */
+  def d6Contamination(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(0, greatest(size(w) - 8, 0)), i -> xxhash64(concat_ws(' ', slice(w, i + 1, 8)))))"))
+      .select(col("doc_id"), col("sh"))
+    val isTest = PortableHash.bucket(col("doc_id"), "contam", 10L) === 0
+    val test = base.filter(isTest)
+    val trainSh = base.filter(!isTest)
+      .select(explode(col("sh")).as("g")).distinct()
+    val hits = test.select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(trainSh, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    test.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        round(col("n_hit") * lit(1.0) / col("n_sh"), 6).as("hit_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Shared DuckDB CTE: explode embeddings to (vec_id, position, value)
     * with double-cast values — mirrors VectorOps' double-precision math. */
   private val explodeCte =
@@ -110,6 +144,22 @@ object Dedup {
       |nrm AS (SELECT vec_id, SUM(x * x) AS n2 FROM ex GROUP BY vec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d6_contamination" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+         |             ${PortableHash.duckBucket("doc_id", "contam", 10L)} = 0 AS is_test
+         |           FROM documents),
+         |s AS (SELECT doc_id, is_test, list_distinct(list_transform(
+         |        range(greatest(len(w) - 7, 1)),
+         |        i -> array_to_string(w[i + 1:i + 8], ' '))) AS sh FROM d),
+         |tr AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE NOT is_test),
+         |te AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE is_test),
+         |h AS (SELECT doc_id, COUNT(*) AS n_hit FROM te JOIN tr USING (g)
+         |      GROUP BY doc_id)
+         |SELECT s.doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
+         |  COALESCE(h.n_hit, 0) AS n_hit,
+         |  ROUND(COALESCE(h.n_hit, 0) * 1.0 / len(sh), 6) AS hit_ratio
+         |FROM s LEFT JOIN h USING (doc_id) WHERE is_test
+         |ORDER BY s.doc_id""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT h, keeper, n_copies FROM (
         | SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies

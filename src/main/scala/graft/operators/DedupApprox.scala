@@ -7,19 +7,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.PortableHash
 
 /** (doc_id, minhash signature) row for typed ops. */
 case class DocSig(doc_id: Long, sig: Array[Long])
 
-/** (doc_id, simhash) row. */
-case class DocSim(doc_id: Long, sim: Long)
-
 /** Approximate near-dup detection (SURVEY.md §2.D: d3 MinHash+LSH,
   * d4 SimHash) — the 100 TB-scale path: candidate generation via
   * banding/bucketing so join cost tracks collisions, never n².
-  * Deterministic (fixed seeds) but hash-algorithm-defined, hence
-  * [rows-only]: verified against exact Jaccard in ScalaTest
-  * (DedupSpec), not the SQL oracle.
+  * Deterministic throughout: d3 (fixed-seed permutations) is
+  * [rows-only], verified against exact Jaccard in ScalaTest; d4 runs on
+  * the portable md5-prefix hash and is DuckDB-oracle-checked
+  * [sql-oracle].
   */
 object DedupApprox {
 
@@ -96,41 +95,61 @@ object DedupApprox {
     out
   }
 
-  private[graft] def fnv1a64(sd: String): Long = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < sd.length) { h ^= sd.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    h
+  /** Scala twin of the column-side portable simhash — the spec's
+    * self-oracle. Must stay in lockstep with [[d4Simhash]]'s expression
+    * and the DuckDB oracle. */
+  private[graft] def mdhash64Str(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
   }
 
-  private[graft] def simhash64(text: String): Long = {
-    val acc = new Array[Int](64)
+  private[graft] def simhashPortable(text: String): Long = {
+    // one digest instance per document, reset per word; the 60-bit value
+    // is the big-endian first-8-bytes long >>> 4 — bit-identical to
+    // mdhash64Str's parse of the first 15 hex chars, without the
+    // hex-string detour
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val acc = new Array[Int](60)
     text.split(" ").foreach { w =>
-      val h = fnv1a64(w)
+      md.reset()
+      val d = md.digest(w.getBytes("UTF-8"))
+      val h = java.nio.ByteBuffer.wrap(d).getLong >>> 4
       var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+      while (b < 60) { if (((h >> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (acc(b) >= 0) out |= (1L << b); b += 1 }
+    while (b < 60) { if (acc(b) >= 0) out |= (1L << b); b += 1 }
     out
   }
 
-  /** d4_simhash — 64-bit SimHash near-dups: band the fingerprint into
-    * 4×16-bit chunks (Hamming ≤ 8 ⇒ some chunk is likely equal),
-    * bucket-join, verify with popcount(xor) ≤ 8. */
+  /** d4_simhash — 60-bit portable SimHash near-dups: bit b of a doc's
+    * signature is the sign of Σ over word occurrences of ±1 by bit b of
+    * the word's portable hash. Candidates come from banding the
+    * signature into 4×15-bit chunks (an equal chunk is the candidate
+    * gate — deterministic, mirrored in the oracle), verified with
+    * popcount(xor) ≤ 8.
+    *
+    * Execution shape, measured not guessed: the "pure column"
+    * alternatives lose here — Spark HOFs (transform/aggregate) are
+    * interpreted, so a nested 60-bit fold is ~6× slower than this, and
+    * an explode + 60 CASE-sum aggregate pays a words-wide shuffle for
+    * the same answer. One scalar UDF per DOCUMENT (not per word) is the
+    * cheapest correct shape: a single deserialize-compute-serialize per
+    * row that's already string-typed, embarrassingly parallel, no
+    * shuffle. The only shuffles are the (band, chunk) self-join and the
+    * candidate distinct, both on fixed-width ints. [sql-oracle]. */
   def d4Simhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // cached for the same reason as d3's sigs: the chunk explode joins
-    // against itself, which would recompute the simhash map twice
+    val simUdf = udf((text: String) => simhashPortable(text))
     val sims = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .map { case (id, t) => DocSim(id, simhash64(t)) }
-      .toDF("doc_id", "sim")
+      .select(col("doc_id"), simUdf(col("text")).as("sim"))
+      // cached: the chunk explode joins against itself, which would
+      // recompute the (md5-heavy) signature map twice
       .cache()
     val chunks = sims.select(col("doc_id"), col("sim"),
-        explode(expr("transform(sequence(0, 3), i -> named_struct('band', i, 'chunk', (sim >> (i * 16)) & 65535))")).as("c"))
+        explode(expr("transform(sequence(0, 3), i -> named_struct('band', i, 'chunk', (sim >> (i * 15)) & 32767))")).as("c"))
       .select(col("doc_id"), col("sim"), col("c.band"), col("c.chunk"))
     val cand = chunks.as("x").join(chunks.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
@@ -146,4 +165,26 @@ object DedupApprox {
     sims.unpersist()
     out
   }
+
+  val oracle: Map[String, String] = Map(
+    "d4_simhash" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wh AS (SELECT doc_id, list_transform(w,
+        |         x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs FROM d),
+        |sm AS (SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, list_transform(range(60), b ->
+        |    CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(hs,
+        |               h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+        |             (a, x) -> a + x) >= 0
+        |         THEN (1::BIGINT << CAST(b AS INT)) ELSE 0::BIGINT END)),
+        |    (a, x) -> a | x) AS sim FROM wh),
+        |ch AS (SELECT doc_id, sim, t.b AS band,
+        |         (sim >> CAST(t.b * 15 AS INT)) & 32767 AS chunk
+        |       FROM sm, range(4) t(b)),
+        |pa AS (SELECT DISTINCT x.doc_id AS a, x.sim AS sa, y.doc_id AS b, y.sim AS sb
+        |       FROM ch x JOIN ch y
+        |         ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+        |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        |FROM pa WHERE bit_count(xor(sa, sb)) <= 8 ORDER BY a, b""".stripMargin
+  )
 }

@@ -4,44 +4,131 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.PortableHash
 
-/** Deterministic sampling for training-data pipelines (SURVEY.md §2.I).
+/** Deterministic sampling / split / mixture utilities for training-data
+  * pipelines (SURVEY.md §2.I).
   *
-  * Hash-threshold sampling instead of `rand()`: `xxhash64(id, salt)`
-  * maps each row to a stable point in [0, 1e6); keeping rows under
-  * frac·1e6 gives binomial-exact proportions that are reproducible
-  * across runs, retries, and cluster layouts — `rand()`-based sampling
-  * is none of those. Narrow map, no shuffle, no state.
+  * Hash-threshold sampling instead of `rand()`: a salted hash maps each
+  * row to a stable point in [0, 1e6); keeping rows under frac·1e6 gives
+  * binomial-exact proportions that are reproducible across runs,
+  * retries, and cluster layouts — `rand()`-based sampling is none of
+  * those. Narrow map, no shuffle, no state. User-facing ops hash with
+  * [[PortableHash.mdhash64]] so the exact kept-set is auditable from any
+  * engine (and DuckDB-oracle-checked here); internal ML-fit sampling
+  * keeps the cheaper xxhash64.
   */
 object Sampling {
 
   private val Buckets = 1000000L
 
-  /** Uniform deterministic sample: keep ~frac of rows, keyed by id. */
+  /** Uniform deterministic sample (internal/perf path): keep ~frac of
+    * rows, keyed by xxhash64(id, salt). */
   def uniform(df: DataFrame, idCol: Column, frac: Double,
       salt: Long = 0L): DataFrame =
     df.filter(pmod(xxhash64(idCol, lit(salt)), lit(Buckets)) <
       lit((frac * Buckets).toLong))
 
-  /** Stratified deterministic sample: per-stratum keep fractions, with
-    * a default for unlisted strata. Proportions hold per stratum (the
-    * hash is uniform within each), so class rebalancing is exact in
-    * expectation and stable in fact. */
+  /** Stratified deterministic sample on the portable hash: per-stratum
+    * keep fractions, with a default for unlisted strata. Proportions
+    * hold per stratum (the hash is uniform within each), so class
+    * rebalancing is exact in expectation and stable in fact. */
   def stratified(df: DataFrame, stratumCol: Column, idCol: Column,
       fracs: Map[String, Double], defaultFrac: Double = 0.0,
-      salt: Long = 0L): DataFrame = {
+      salt: String = "s"): DataFrame = {
     val threshold = fracs.foldLeft(lit((defaultFrac * Buckets).toLong)) {
       case (acc, (k, f)) =>
         when(stratumCol === k, lit((f * Buckets).toLong)).otherwise(acc)
     }
-    df.filter(pmod(xxhash64(idCol, lit(salt)), lit(Buckets)) < threshold)
+    df.filter(PortableHash.bucket(idCol, salt, Buckets) < threshold)
   }
 
   /** i1_stratified_sample — rebalance the documents corpus: keep 50% of
     * English, 10% of everything else (the downsample-the-majority-class
-    * shape). [rows-only]: xxhash64 has no DuckDB twin. */
+    * shape). [sql-oracle] via the portable hash. */
   def i1StratifiedSample(s: SparkSession, dir: String): DataFrame =
     stratified(Tables.documents(s, dir).select("doc_id", "lang", "source"),
-      col("lang"), col("doc_id"), Map("en" -> 0.5), defaultFrac = 0.1)
+      col("lang"), col("doc_id"), Map("en" -> 0.5), defaultFrac = 0.1,
+      salt = "i1")
       .orderBy("doc_id")
+
+  /** i2_split_assign — deterministic train/val/test assignment (98/1/1)
+    * by hash bucket of the stable doc_id. The split survives reruns,
+    * appends, and repartitions — the property rand()-splits lack — and
+    * any engine can recompute membership from the id alone.
+    * [sql-oracle]. */
+  def i2SplitAssign(s: SparkSession, dir: String): DataFrame = {
+    val b = PortableHash.bucket(col("doc_id"), "split", 100L)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), b.as("bucket"),
+        when(b < 98, "train").when(b === 98, "val").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Integer-exact weighted-mixture sample: given integer source weights
+    * w_s, take the largest total corpus with composition ∝ w_s without
+    * oversampling any source, i.e. per-source keep fraction
+    * frac_s = (c_m/w_m)·w_s/c_s where m = argmin c/w. The keep test is
+    * evaluated as cross-multiplied int64 arithmetic
+    * (`bucket·c_s·w_m < 10⁶·c_m·w_s`) — no float thresholds, so the
+    * kept-set is bit-reproducible on any engine.
+    *
+    * Scale: per-source counts are a map-side-combined agg over a
+    * low-cardinality key collected to the driver (KBs); the filter
+    * itself is a narrow map over a broadcast-joined 20-row dim. */
+  def mixture(df: DataFrame, sourceCol: String, idCol: Column,
+      weights: String => Long, salt: String): DataFrame = {
+    val counts = df.groupBy(sourceCol).count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val dims = counts.map { case (src, c) => (src, c, weights(src)) }
+    // argmin of c/w, ties to the lexicographically first source — the
+    // same (ratio, source) ordering the DuckDB oracle uses
+    val (_, cm, wm) = dims.minBy { case (src, c, w) => (c.toDouble / w, src) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = broadcast(dims.toSeq.toDF(sourceCol, "c", "w"))
+    df.join(dim, sourceCol)
+      .filter(PortableHash.bucket(idCol, salt, Buckets) * col("c") * lit(wm)
+        < lit(Buckets * cm) * col("w"))
+      .drop("c", "w")
+  }
+
+  /** i3_mixture — remix the documents corpus to a 3:1 source weighting
+    * (src0–src4 upweighted ×3 vs the rest), the
+    * hit-a-target-data-mixture shape of LLM pretraining corpora.
+    * [sql-oracle]. */
+  def i3Mixture(s: SparkSession, dir: String): DataFrame = {
+    val hot = (0 to 4).map(i => s"src$i").toSet
+    mixture(Tables.documents(s, dir).select("doc_id", "source"),
+      "source", col("doc_id"), src => if (hot(src)) 3L else 1L, "mix")
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
+  private def duckWeight =
+    "CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3 ELSE 1 END"
+
+  val oracle: Map[String, String] = Map(
+    "i1_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${PortableHash.duckBucket("doc_id", "i1", 1000000L)}
+         |  < CASE WHEN lang = 'en' THEN 500000 ELSE 100000 END
+         |ORDER BY doc_id""".stripMargin,
+    "i2_split_assign" ->
+      s"""SELECT doc_id, ${PortableHash.duckBucket("doc_id", "split", 100L)} AS bucket,
+         |  CASE WHEN ${PortableHash.duckBucket("doc_id", "split", 100L)} < 98 THEN 'train'
+         |       WHEN ${PortableHash.duckBucket("doc_id", "split", 100L)} = 98 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "i3_mixture" ->
+      s"""WITH n AS (SELECT source, COUNT(*) AS c, $duckWeight AS w
+         |           FROM documents GROUP BY source),
+         |m AS (SELECT c AS cm, w AS wm FROM n ORDER BY c * 1.0 / w, source LIMIT 1)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN n USING (source), m
+         |WHERE ${PortableHash.duckBucket("d.doc_id", "mix", 1000000L)} * n.c * m.wm
+         |      < 1000000 * m.cm * n.w
+         |ORDER BY d.doc_id""".stripMargin
+  )
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.PortableHash
 
 /** Text analysis for LLM-data pipelines (SURVEY.md §2.F), over the
   * `documents` table. Quality/token metrics are pure column arithmetic
@@ -107,17 +108,72 @@ object TextOps {
   }
 
   /** t4_fingerprint — rolling 8-char-gram hash fingerprint (winnowing-
-    * style min-gram selection) + whole-document xxhash64. Column-only.
-    * [rows-only]: hash-algorithm-defined. */
+    * style min-gram selection) + a whole-document hash. Column-only
+    * (one narrow map: transform + array_min inside codegen, no explode,
+    * no shuffle). [sql-oracle] via the portable md5-prefix hash —
+    * fingerprints are only useful if every engine in the pipeline
+    * derives the same ones. */
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val gram = PortableHash.mdhash64Sql("substr(text, i + 1, 8)")
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        expr("array_min(transform(sequence(0, greatest(length(text) - 8, 0)), i -> hash(substr(text, i + 1, 8))))").as("fp_min"),
-        xxhash64(col("text")).as("fp64"))
+        expr(s"array_min(transform(sequence(0, greatest(length(text) - 8, 0)), i -> $gram))")
+          .as("fp_min"),
+        PortableHash.mdhash64(col("text")).as("fp64"))
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary size for t7 — small enough that the synthetic corpus
+    * (31 distinct words) yields real `<unk>` mass, large enough to keep
+    * the common words. */
+  private val VocabK = 20
+
+  /** t7_vocab_scrub — corpus-vocabulary OOV scrubbing: build the top-K
+    * vocabulary by frequency (ties broken lexically), replace every
+    * out-of-vocabulary token with `<unk>`, and fingerprint the scrubbed
+    * text. The standard closed-vocabulary preprocessing step before
+    * tokenizer training.
+    *
+    * Scale: the vocabulary is the output of a map-side-combined word
+    * count truncated to K rows — driver-collected KBs at any corpus
+    * size — and the scrub itself is a narrow per-row transform with the
+    * K words inlined as a literal array (no join, no shuffle, stays in
+    * whole-stage codegen). [sql-oracle]. */
+  def t7VocabScrub(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(VocabK)
+      .collect().map(_.getString(0)).toSeq
+    val words = split(col("text"), " ")
+    val scrubbed = array_join(
+      transform(words, w => when(w.isInCollection(vocab), w).otherwise("<unk>")),
+      " ")
+    docs.select(col("doc_id"),
+        size(filter(words, w => !w.isInCollection(vocab))).cast("long").as("n_unk"),
+        md5(scrubbed).as("scrub_md5"))
       .orderBy("doc_id")
   }
 
   val oracle: Map[String, String] = Map(
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        | list_min(list_transform(range(greatest(length(text) - 7, 1)),
+        |   i -> ('0x' || substr(md5(substr(text, i + 1, 8)), 1, 15))::BIGINT)) AS fp_min,
+        | ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp64
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t7_vocab_scrub" ->
+      """WITH vc AS (SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |             FROM documents) GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 20),
+        |vl AS (SELECT list(w) AS vs FROM vc)
+        |SELECT d.doc_id,
+        | CAST(len(list_filter(string_split(d.text, ' '),
+        |          w -> NOT list_contains(vl.vs, w))) AS BIGINT) AS n_unk,
+        | md5(array_to_string(list_transform(string_split(d.text, ' '),
+        |     w -> CASE WHEN list_contains(vl.vs, w) THEN w ELSE '<unk>' END), ' ')) AS scrub_md5
+        |FROM documents d, vl ORDER BY doc_id""".stripMargin,
     "t6_ngram_counts" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |b AS (SELECT unnest(list_transform(range(greatest(len(w) - 1, 1)),

@@ -55,7 +55,7 @@ class DedupApproxSpec extends SparkSpec {
     pairs.foreach { r =>
       val (a, b, h) = (r.getLong(0), r.getLong(1), r.getInt(2))
       val expected = java.lang.Long.bitCount(
-        DedupApprox.simhash64(docs(a)) ^ DedupApprox.simhash64(docs(b)))
+        DedupApprox.simhashPortable(docs(a)) ^ DedupApprox.simhashPortable(docs(b)))
       assert(h == expected && h <= 8, s"pair ($a,$b): got $h expected $expected")
     }
   }
