@@ -60,6 +60,7 @@ object SparkEntry {
     "i1_stratified_sample" -> (Sampling.i1StratifiedSample _),
     "i2_split_assign" -> (Sampling.i2SplitAssign _),
     "i3_mixture" -> (Sampling.i3Mixture _),
+    "i4_pack_sequences" -> (Sampling.i4PackSequences _),
     // rows-only ops (hash/ML-algorithm-defined; spec-tested, no SQL oracle)
     "d3_minhash_lsh" -> (DedupApprox.d3MinhashLsh _),
     "s2_ann_lsh" -> (Similarity.s2AnnLsh _),

@@ -122,18 +122,28 @@ object Dedup {
         "array_distinct(transform(sequence(0, greatest(size(w) - 8, 0)), i -> xxhash64(concat_ws(' ', slice(w, i + 1, 8)))))"))
       .select(col("doc_id"), col("sh"))
     val isTest = PortableHash.bucket(col("doc_id"), "contam", 10L) === 0
-    val test = base.filter(isTest)
+    // cached: the exploded test-side index (10% of the corpus, two
+    // longs per row) feeds both the per-doc shingle count and the
+    // membership probe — uncached, the md5-split-shingle pipeline would
+    // rescan and recompute twice. The train side streams through its
+    // single scan uncached (it's 90% of the corpus — recomputing is
+    // cheaper than materializing at scale).
+    val testSh = base.filter(isTest)
+      .select(col("doc_id"), explode(col("sh")).as("g")).cache()
     val trainSh = base.filter(!isTest)
       .select(explode(col("sh")).as("g")).distinct()
-    val hits = test.select(col("doc_id"), explode(col("sh")).as("g"))
-      .join(trainSh, "g")
+    val counts = testSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val hits = testSh.join(trainSh, "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    test.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    val out = counts
       .join(hits, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_hit"))
       .select(col("doc_id"), col("n_sh"), col("n_hit"),
         round(col("n_hit") * lit(1.0) / col("n_sh"), 6).as("hit_ratio"))
       .orderBy("doc_id")
+      .localCheckpoint(true)
+    testSh.unpersist()
+    out
   }
 
   /** Shared DuckDB CTE: explode embeddings to (vec_id, position, value)

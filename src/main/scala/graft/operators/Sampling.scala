@@ -106,6 +106,48 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** i4_pack_sequences — concat-then-chunk sequence packing: order the
+    * corpus by a stable hash (the deterministic "shuffle" pretraining
+    * wants), lay documents head-to-tail in one global token stream, and
+    * assign each doc the training sequence its first token lands in
+    * (capacity 2048 tokens). This is the GPT-style packing step that
+    * turns a corpus into fixed-length training rows.
+    *
+    * The global running offset is a two-phase distributed prefix sum,
+    * never a single-partition sort: the 60-bit order hash is range-
+    * split by its top 5 bits into 32 monotone buckets, each bucket
+    * cumsums locally under a per-bucket window, and the 32 bucket
+    * totals (a driver-side KB) become literal offsets folded into a
+    * codegen'd CASE — so the plan scales by adding buckets, while the
+    * DuckDB oracle states the same thing as one global window.
+    * [sql-oracle]. */
+  def i4PackSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val SeqLen = 2048L
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("ok",
+        PortableHash.mdhash64(concat(col("doc_id").cast("string"), lit(":pack"))))
+      .withColumn("rb", expr("ok >> 55"))
+    val totals = docs.groupBy("rb").agg(sum("n_tok").as("tot")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // running offset of each bucket = sum of all earlier buckets' tokens
+    val offsets = totals.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (rb, tot)) => (rb, acc + tot)
+    }.sliding(2).map { case Array((_, prev), (rb, _)) => (rb, prev) }.toSeq
+    val bucketOffset = offsets.foldLeft(lit(0L)) {
+      case (acc, (rb, off)) => when(col("rb") === rb, lit(off)).otherwise(acc)
+    }
+    val w = Window.partitionBy("rb").orderBy("ok", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("offset", bucketOffset + sum("n_tok").over(w) - col("n_tok"))
+      .select(col("doc_id"), col("n_tok"), col("offset"),
+        expr(s"offset div $SeqLen").as("seq_id"))
+      .orderBy("doc_id")
+  }
+
   private def duckWeight =
     "CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3 ELSE 1 END"
 
@@ -121,6 +163,18 @@ object Sampling {
          |       WHEN ${PortableHash.duckBucket("doc_id", "split", 100L)} = 98 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "i4_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |             ${PortableHash.duckMdhash64("CAST(doc_id AS VARCHAR) || ':pack'")} AS ok
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |        CAST(SUM(n_tok) OVER (ORDER BY ok, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          - n_tok AS "offset"
+         |      FROM d)
+         |SELECT doc_id, n_tok, "offset", "offset" // 2048 AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin,
     "i3_mixture" ->
       s"""WITH n AS (SELECT source, COUNT(*) AS c, $duckWeight AS w
          |           FROM documents GROUP BY source),

@@ -63,6 +63,28 @@ class PipelineOpsSpec extends SparkSpec {
       src => if (src == "srcA") 3L else 1L, "spec").count())
   }
 
+  test("i4_pack_sequences matches a driver-side global prefix sum") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").length.toLong))
+    val ordered = docs
+      .map { case (id, n) => (id, n, DedupApprox.mdhash64Str(s"$id:pack")) }
+      .sortBy { case (id, _, ok) => (ok, id) }
+    var off = 0L
+    val expect = ordered.map { case (id, n, _) =>
+      val o = off; off += n; id -> ((n, o, o / 2048L))
+    }.toMap
+    val got = Sampling.i4PackSequences(spark, sf).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val (n, o, sq) = expect(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((n, o, sq)),
+        s"doc ${r.getLong(0)}")
+    }
+    // packing is tight: max offset+n_tok == total tokens
+    assert(off == docs.map(_._2).sum)
+  }
+
   test("d6_contamination matches driver-side recomputation") {
     val docs = graft.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
