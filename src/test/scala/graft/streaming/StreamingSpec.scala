@@ -162,6 +162,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[String]("alert") == "overload")
   }
 
+  test("st7_outlier_table caps per-key tables at the last N by event time") {
+    implicit val sc = spark.sqlContext
+    implicit val ss = spark
+    import spark.implicits._
+    val in = MemoryStream[Flagged]
+    val q = OutlierTable.table(in.toDS(), cap = 5)
+      .writeStream.format("memory").queryName("st7_out")
+      .outputMode(OutputMode.Update).start()
+    def f(sec: Int, p: String = "solar") =
+      Flagged(ts(f"2024-01-01 00:00:$sec%02d"), p, 100.0 + sec, 3.5, 0.7)
+    in.addData(f(1), f(2), f(3), f(10, "wind"))
+    q.processAllAvailable()
+    val batch1 = spark.table("st7_out").collect()
+    // snapshot per key: 3 solar + 1 wind
+    assert(batch1.count(_.getAs[String]("plant_type") == "solar") == 3)
+    assert(batch1.count(_.getAs[String]("plant_type") == "wind") == 1)
+    in.addData(f(4), f(5), f(6), f(7))
+    q.processAllAvailable()
+    q.stop()
+    // latest solar snapshot: capped at 5, the most recent by ts (3..7)
+    val all = spark.table("st7_out").collect()
+      .filter(_.getAs[String]("plant_type") == "solar")
+    val latest = all.drop(3) // rows appended by batch 2's snapshot
+    assert(latest.length == 5, s"table must cap at 5: got ${latest.length}")
+    val secs = latest.map(_.getAs[Timestamp]("ts").toString.takeRight(4)).sorted
+    assert(secs.sameElements(Array("03.0", "04.0", "05.0", "06.0", "07.0")),
+      s"want seconds 3..7, got ${secs.mkString(",")}")
+  }
+
   test("st4_generator is deterministic, 10% anomalies, non-negative, seasonal") {
     val n = 8L * 3600 * 24 // one synthetic day at 8 Hz
     val t = Generator.telemetry(spark.range(n).toDF("value")).cache()
