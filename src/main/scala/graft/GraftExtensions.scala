@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{VecCosine, VecDot, VecNormSq}
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.types.StringType
+
+import graft.functions.{MdHash64, VecCosine, VecDot, VecNormSq}
 
 /** `SparkSessionExtensions` hook exposing graft's native expressions to
   * SQL users:
@@ -25,6 +28,8 @@ object GraftExtensions {
       args => VecNormSq(args(0)))
     org.apache.spark.sql.GraftShim.registerFunction(s, "vec_cosine",
       args => VecCosine(args(0), args(1)))
+    org.apache.spark.sql.GraftShim.registerFunction(s, "graft_mdhash64",
+      args => MdHash64(Cast(args(0), StringType)))
   }
 }
 
@@ -43,5 +48,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity, one fused pass"),
       (args: Seq[Expression]) => VecCosine(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("graft_mdhash64"),
+      info("graft_mdhash64",
+        "graft_mdhash64(x) - portable 60-bit md5-prefix hash (DuckDB-reproducible)"),
+      (args: Seq[Expression]) => MdHash64(Cast(args(0), StringType))))
   }
 }

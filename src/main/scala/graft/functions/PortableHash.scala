@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.functions._
 
 /** Cross-engine deterministic hash: the first 15 hex chars of md5 parsed
@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object PortableHash {
 
-  /** 60-bit hash of the column's string form. */
+  /** 60-bit hash of the column's string form — the native [[MdHash64]]
+    * expression (codegen'd, zero intermediate strings). */
   def mdhash64(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    GraftShim.column(MdHash64(GraftShim.expression(c.cast("string"))))
 
-  /** Same, for composition inside SQL `expr(...)` strings. */
+  /** Same value via built-ins only, for composition inside SQL
+    * `expr(...)` strings on sessions without graft's extensions. */
   def mdhash64Sql(e: String): String =
     s"CAST(conv(substr(md5(CAST($e AS STRING)), 1, 15), 16, 10) AS BIGINT)"
 

@@ -114,12 +114,13 @@ object TextOps {
     * fingerprints are only useful if every engine in the pipeline
     * derives the same ones. */
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame = {
-    val gram = PortableHash.mdhash64Sql("substr(text, i + 1, 8)")
+    val t = col("text")
+    val grams = transform(
+      sequence(lit(0), greatest(length(t) - 8, lit(0))),
+      i => PortableHash.mdhash64(t.substr(i + lit(1), lit(8))))
     Tables.documents(s, dir)
-      .select(col("doc_id"),
-        expr(s"array_min(transform(sequence(0, greatest(length(text) - 8, 0)), i -> $gram))")
-          .as("fp_min"),
-        PortableHash.mdhash64(col("text")).as("fp64"))
+      .select(col("doc_id"), array_min(grams).as("fp_min"),
+        PortableHash.mdhash64(t).as("fp64"))
       .orderBy("doc_id")
   }
 

@@ -33,6 +33,16 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_mdhash64 from SQL matches the conv/substr/md5 built-in chain") {
+    GraftExtensions.registerInto(spark)
+    val rows = spark.sql(
+      """SELECT graft_mdhash64(id) AS native,
+        |  CAST(conv(substr(md5(CAST(id AS STRING)), 1, 15), 16, 10) AS BIGINT) AS chain
+        |FROM range(1000)""".stripMargin).collect()
+    assert(rows.length == 1000)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("interpreted eval matches codegen for the vector expressions") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val a = new GenericArrayData(Array(1.0f, 2.0f, 3.0f))
