@@ -35,4 +35,13 @@ object Pipeline {
     implicit val sp = s
     detect(toKafkaValue(Generator.telemetry(s.range(n).toDF("value"))))
   }
+
+  /** The loop through its last stage — st7's per-entity capped outlier
+    * table (the reference's dashboard feed): generate → JSON → parse →
+    * detect → table. */
+  def endToEndTable(s: SparkSession, n: Long,
+      cap: Int = OutlierTable.DefaultCap): Dataset[Flagged] = {
+    implicit val sp = s
+    OutlierTable.table(endToEndBatch(s, n), cap)
+  }
 }

@@ -36,6 +36,18 @@ class PipelineSpec extends SparkSpec {
       s"strong-spike recall ${strongHit.toDouble / strong.size}")
   }
 
+  test("end-to-end outlier table keeps the most recent flags per entity") {
+    val flagged = Pipeline.endToEndBatch(spark, 4000L).collect()
+    val table = Pipeline.endToEndTable(spark, 4000L, cap = 10).collect()
+    table.groupBy(_.plant_type).foreach { case (k, rows) =>
+      val all = flagged.filter(_.plant_type == k)
+        .sortBy(r => (r.ts.getTime, r.power_output))
+      assert(rows.length == math.min(10, all.length), s"key $k cap")
+      assert(rows.map(_.ts).toSet == all.takeRight(rows.length).map(_.ts).toSet,
+        s"key $k must keep the most recent flags")
+    }
+  }
+
   test("JSON round-trip preserves every field to the parsed schema") {
     implicit val s = spark
     val t = Generator.telemetry(spark.range(100L).toDF("value"))
