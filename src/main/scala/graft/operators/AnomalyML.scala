@@ -122,23 +122,30 @@ object AnomalyML {
     out
   }
 
-  /** a2_ewma — EWMA smoothing (α=0.3) + residuals per user, via typed
-    * per-key iteration (flatMapGroups). State is O(1) per key and keys
-    * are hash-partitioned — the batch twin of st3's streaming state. */
+  /** a2_ewma — EWMA smoothing (α=0.3) + residuals per user; the batch
+    * twin of st3's streaming state.
+    *
+    * Scale shape: repartition on the key, secondary-sort within
+    * partitions, then stream through rows with O(1) carried state —
+    * never `flatMapGroups`+`toArray`, which materializes a whole key's
+    * history in one task's heap (a hot key at 100 TB is an OOM, not a
+    * skew statistic). Each task holds one row and one running mean. */
   def a2Ewma(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val alpha = 0.3
     Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("value"), col("ts").cast("long").as("secs"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "secs", "event_id")
       .as[EventRow]
-      .groupByKey(_.user_id)
-      .flatMapGroups { (uid, it) =>
-        val rows = it.toArray.sortBy(r => (r.secs, r.event_id))
-        var ew = rows.head.value
-        rows.iterator.map { r =>
+      .mapPartitions { it =>
+        var cur = Long.MinValue
+        var ew = 0.0
+        it.map { r =>
+          if (r.user_id != cur) { cur = r.user_id; ew = r.value }
           val resid = r.value - ew
           ew = alpha * r.value + (1 - alpha) * ew
-          EwmaRow(r.event_id, uid, r.value, math.rint(ew * 1e6) / 1e6,
+          EwmaRow(r.event_id, r.user_id, r.value, math.rint(ew * 1e6) / 1e6,
             math.rint(resid * 1e6) / 1e6)
         }
       }
