@@ -69,6 +69,7 @@ object SparkEntry {
     "a2_ewma" -> (AnomalyML.a2Ewma _),
     "a3_kmeans_outlier" -> (AnomalyML.a3KmeansOutlier _),
     "s3_ivf" -> (Similarity.s3Ivf _),
+    "s4_ann_pq" -> (Similarity.s4AnnPq _),
     "m1_binary_meta" -> (Multimodal.m1BinaryMeta _),
     "m2_feature_stub" -> ((s, d) => Multimodal.m2FeatureStub(s, d))
   )

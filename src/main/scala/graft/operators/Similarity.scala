@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.VectorOps
+import graft.ml.ProductQuantizer
 
 /** Similarity search over embeddings (SURVEY.md §2.E).
   *
@@ -146,6 +147,66 @@ object Similarity {
         cells.join(broadcast(probes), "cell")
           .withColumn("cos", VectorOps.cosine(col("eq"), col("ec"))),
         Seq(col("qid")), Seq(col("cos").desc, col("cid")), 10)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
+        col("rank").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  /** s4_ann_pq — product-quantized ANN (Jégou et al. 2011) with exact
+    * refine: the corpus is compressed to m=8 sub-codes (32× smaller than
+    * float32 — at 100 TB the PQ scan reads ~3 TB), queries carry a
+    * per-query asymmetric-distance table (m×k dots against the
+    * broadcast codebooks), candidate scoring is 8 table lookups per
+    * pair, and the approximate top-50 is re-ranked by exact cosine
+    * against the uncompressed vectors (a candidates-sized join) to the
+    * final top-10.
+    *
+    * Codebooks fit driver-side on a bounded deterministic sample (KBs
+    * of model, same regime as the IF/IVF fits); encode/scan/refine are
+    * distributed narrow maps + one TopKPerGroup shuffle each.
+    * [rows-only]: recall vs s1 is spec-tested. */
+  def s4AnnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.spread(s, Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") >= 5)
+    val n = corpus.count()
+    val trainFrac = math.min(1.0, 20000.0 / math.max(n, 1L))
+    val sample = Sampling.uniform(corpus, col("vec_id"), trainFrac)
+      .select("embedding").as[Seq[Float]].collect().map(_.toArray)
+    val pq = ProductQuantizer.fit(sample, m = 8, k = 16, iters = 10, seed = 11L)
+    val bc = s.sparkContext.broadcast(pq)
+    val encodeUdf = udf((v: Seq[Float]) => bc.value.encode(v))
+    val cnUdf = udf((code: Array[Byte]) => math.sqrt(bc.value.normSq(code)))
+    val tableUdf = udf((v: Seq[Float]) => bc.value.dotTable(v).map(_.toSeq).toSeq)
+    val adcUdf = udf((tab: Seq[Seq[Double]], code: Array[Byte]) => {
+      var d = 0.0
+      var i = 0
+      while (i < code.length) { d += tab(i)(code(i) & 0xff); i += 1 }
+      d
+    })
+    // the PQ scan sees ONLY the compressed representation: 8 code bytes
+    // + a cached approximate norm per corpus vector
+    val codes = corpus
+      .select(col("vec_id").as("cid"), encodeUdf(col("embedding")).as("code"))
+      .withColumn("cn_pq", cnUdf(col("code")))
+    val qtabs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"),
+        sqrt(VectorOps.normSq(col("embedding"))).as("qn"),
+        tableUdf(col("embedding")).as("qtab"))
+    val approx = codes.join(broadcast(qtabs))
+      .withColumn("acos", adcUdf(col("qtab"), col("code")) / (col("qn") * col("cn_pq")))
+    val shortlist = graft.plans.TopKPerGroup.perKey(
+        approx, Seq(col("qid")), Seq(col("acos").desc, col("cid")), 50)
+      .select("qid", "cid", "eq", "qn")
+    // exact re-rank of the shortlist against the uncompressed vectors
+    val exact = shortlist
+      .join(e.select(col("vec_id").as("cid"), col("embedding").as("ec")), "cid")
+      .withColumn("cos",
+        VectorOps.dot(col("eq"), col("ec"))
+          / (col("qn") * sqrt(VectorOps.normSq(col("ec")))))
+    graft.plans.TopKPerGroup.perKey(
+        exact, Seq(col("qid")), Seq(col("cos").desc, col("cid")), 10)
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
         col("rank").as("rn"))
       .orderBy("qid", "rn")
