@@ -12,9 +12,12 @@ import graft.functions.PortableHash
 /** (doc_id, minhash signature) row for typed ops. */
 case class DocSig(doc_id: Long, sig: Array[Long])
 
-/** Approximate near-dup detection (SURVEY.md §2.D: d3 MinHash+LSH,
-  * d4 SimHash) — the 100 TB-scale path: candidate generation via
-  * banding/bucketing so join cost tracks collisions, never n².
+/** Approximate near-dup detection (SURVEY.md §2.D: d3 MinHash+LSH
+  * (Broder, "On the resemblance and containment of documents", 1997),
+  * d4 SimHash (Charikar, "Similarity estimation techniques from
+  * rounding algorithms", STOC 2002)) — the 100 TB-scale path: candidate
+  * generation via banding/bucketing so join cost tracks collisions,
+  * never n².
   * Deterministic throughout: d3 (fixed-seed permutations) is
   * [rows-only], verified against exact Jaccard in ScalaTest; d4 runs on
   * the portable md5-prefix hash and is DuckDB-oracle-checked

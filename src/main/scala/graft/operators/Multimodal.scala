@@ -12,6 +12,10 @@ case class BinDoc(doc_id: Long, payload: Array[Byte])
 case class BinFeat(doc_id: Long, n_bytes: Int, mean_byte: Double,
     max_byte: Int, feat_hash: Long)
 
+/** Per-sampled-frame (stub) feature row. */
+case class FrameFeat(doc_id: Long, frame_idx: Int, offset: Int,
+    mean_byte: Double, frame_hash: Long)
+
 /** Multimodal-column plumbing (SURVEY.md §2.G): treat media as opaque
   * `binary` columns with typed metadata, and run "decode → feature
   * extract" as batched per-partition processing. The container has no
@@ -76,6 +80,38 @@ object Multimodal {
       .select(col("doc_id") +: col("batch_n") +:
         (0 until dims).map(i => col("features")(i).as(s"f$i")): _*)
       .orderBy("doc_id")
+  }
+
+  /** m3_frame_sample — the video-pipeline "sample n frames evenly, then
+    * extract per-frame features" shape: deterministic even-stride
+    * offsets over the binary payload (first frame at byte 0, last
+    * flush with the tail), a fixed-size window per frame, and one
+    * output row per (doc, frame). The frame "decode" is the same
+    * clearly-marked stub as m1/m2; the sampling arithmetic, explode
+    * shape, and schema are real.
+    *
+    * Scale: narrow flatMap — output is nFrames rows per doc regardless
+    * of payload size, so downstream feature joins see bounded fan-out
+    * and no shuffle happens here at all. */
+  def m3FrameSample(s: SparkSession, dir: String, nFrames: Int = 4,
+      frameBytes: Int = 64): DataFrame = {
+    import s.implicits._
+    Tables.spread(s, Tables.documents(s, dir))
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[BinDoc]
+      .flatMap { d =>
+        val len = d.payload.length
+        val n = math.min(nFrames, math.max(1, len / frameBytes))
+        (0 until n).iterator.map { i =>
+          val off = if (n == 1) 0
+            else ((len - frameBytes).toLong * i / (n - 1)).toInt
+          val frame = d.payload.slice(off, math.min(off + frameBytes, len))
+          val (mean, _, h) = decodeStub(frame)
+          FrameFeat(d.doc_id, i, off, mean, h)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
   }
 
   /** m1_binary_meta — binary payload column + per-partition batched

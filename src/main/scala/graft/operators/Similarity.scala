@@ -40,7 +40,8 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  /** Random-hyperplane signatures: 16 tables × 4 bits, deterministic.
+  /** Random-hyperplane signatures (Charikar STOC 2002 SimHash for
+    * cosine): 16 tables × 4 bits, deterministic.
     * Bits/table sets bucket granularity — collision prob per table is
     * (1 − θ/π)^bits, so for the weakly-similar regime this corpus sits
     * in (top-10 cosine ≈ 0.25–0.40, θ ≈ 70°, per-bit ≈ 0.6) 4 bits ×

@@ -43,6 +43,31 @@ class TextMultimodalSpec extends SparkSpec {
     assert(fp.values.map(_._2).toSet.size == distinctTexts)
   }
 
+  test("m3_frame_sample: even-stride offsets, first at 0, last flush with tail") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    val frames = Multimodal.m3FrameSample(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(frames.keySet == docs.keySet)
+    frames.foreach { case (id, fs) =>
+      val payload = docs(id)
+      val n = math.min(4, math.max(1, payload.length / 64))
+      assert(fs.length == n, s"doc $id frame count")
+      val byIdx = fs.sortBy(_.getInt(1))
+      assert(byIdx.head.getInt(2) == 0, "first frame at byte 0")
+      if (n > 1)
+        assert(byIdx.last.getInt(2) == payload.length - 64,
+          s"doc $id last frame flush with tail")
+      byIdx.foreach { f =>
+        val off = f.getInt(2)
+        val frame = payload.slice(off, math.min(off + 64, payload.length))
+        val (mean, _, h) = Multimodal.decodeStub(frame)
+        assert(f.getDouble(3) == mean && f.getLong(4) == h, s"doc $id frame $off")
+      }
+    }
+  }
+
   test("m1_binary_meta: stub features match driver-side recomputation") {
     val docs = graft.Tables.documents(spark, sf)
       .select("doc_id", "text").collect()
