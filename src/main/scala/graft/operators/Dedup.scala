@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -18,15 +18,18 @@ import graft.functions.{PortableHash, VectorOps}
   */
 object Dedup {
 
-  /** d1_dedup_exact — exact duplicate grouping by content digest: one
-    * survivor (min doc_id) per distinct normalized text. */
-  def d1DedupExact(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir)
+  /** Exact duplicate grouping by content digest over any (doc_id, text)
+    * frame: one survivor (min doc_id) per distinct normalized text. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), md5(col("text")).as("h"))
       .groupBy("h")
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy("keeper")
-  }
+
+  /** d1_dedup_exact — [[exactDedup]] bound to the documents table. */
+  def d1DedupExact(s: SparkSession, dir: String): DataFrame =
+    exactDedup(Tables.documents(s, dir))
 
   /** d5_embed_neardup — exact embedding-cosine near-dup pairs (cos ≥ 0.45).
     * Self-join with a<b; the dot product runs in codegen'd higher-order
@@ -64,12 +67,16 @@ object Dedup {
     * engine). A 64-bit hash is collision-safe to ~10⁹ distinct shingles
     * (p ≈ n²/2⁶⁵); above that swap in a 128-bit hash, same plan. The
     * per-doc shingle counts join the AGGREGATED pair table (near-dup
-    * pairs, tiny) rather than widening every index row before the join. */
-  def d2DedupNgram(s: SparkSession, dir: String): DataFrame = {
-    val exploded = Tables.spread(s, Tables.documents(s, dir))
+    * pairs, tiny) rather than widening every index row before the join.
+    *
+    * Generic core over any (doc_id, text) frame; `k` is the shingle
+    * width, `minJac` the emission threshold. */
+  def ngramJaccard(docs: DataFrame, k: Int = 5,
+      minJac: Double = 0.5): DataFrame = {
+    val exploded = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("sh", expr(
-        "array_distinct(transform(sequence(0, greatest(size(w) - 5, 0)), i -> concat_ws(' ', slice(w, i + 1, 5))))"))
+        s"array_distinct(transform(sequence(0, greatest(size(w) - $k, 0)), i -> concat_ws(' ', slice(w, i + 1, $k))))"))
       .select(col("doc_id"), explode(col("sh")).as("gs"))
       .select(col("doc_id"), xxhash64(col("gs")).as("g"))
       // cached: feeds both the doc-frequency count and the index join —
@@ -93,7 +100,7 @@ object Dedup {
     val out = pairs
       .join(counted.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
       .join(counted.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
-      .filter(jac >= 0.5)
+      .filter(jac >= minJac)
       .select(col("a"), col("b"), round(jac, 6).as("jac"))
       .orderBy("a", "b")
       .localCheckpoint(true)
@@ -101,6 +108,11 @@ object Dedup {
     exploded.unpersist()
     out
   }
+
+  /** d2_dedup_ngram — [[ngramJaccard]] bound to the documents table
+    * (5-word shingles, jac ≥ 0.5). */
+  def d2DedupNgram(s: SparkSession, dir: String): DataFrame =
+    ngramJaccard(Tables.spread(s, Tables.documents(s, dir)))
 
   /** d6_contamination — train/test decontamination check: a 10%
     * hash-assigned test split is scanned for 8-word shingles that also
@@ -114,23 +126,25 @@ object Dedup {
     * probe is an equi-join on fixed-width keys whose cost tracks
     * test-corpus shingle count, never |test|×|train|. [sql-oracle]
     * (DuckDB recomputes on the raw shingle strings — identical modulo
-    * 64-bit collisions, i.e. exactly, at any feasible corpus). */
-  def d6Contamination(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    * 64-bit collisions, i.e. exactly, at any feasible corpus).
+    *
+    * Generic core: any (doc_id, text) frame + any boolean test-side
+    * predicate (hash split, source = benchmark name, date cut, ...). */
+  def contamination(docs: DataFrame, isTest: Column, k: Int = 8): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"), isTest.as("is_test"))
       .withColumn("sh", expr(
-        "array_distinct(transform(sequence(0, greatest(size(w) - 8, 0)), i -> xxhash64(concat_ws(' ', slice(w, i + 1, 8)))))"))
-      .select(col("doc_id"), col("sh"))
-    val isTest = PortableHash.bucket(col("doc_id"), "contam", 10L) === 0
+        s"array_distinct(transform(sequence(0, greatest(size(w) - $k, 0)), i -> xxhash64(concat_ws(' ', slice(w, i + 1, $k)))))"))
+      .select(col("doc_id"), col("sh"), col("is_test"))
     // cached: the exploded test-side index (10% of the corpus, two
     // longs per row) feeds both the per-doc shingle count and the
     // membership probe — uncached, the md5-split-shingle pipeline would
     // rescan and recompute twice. The train side streams through its
     // single scan uncached (it's 90% of the corpus — recomputing is
     // cheaper than materializing at scale).
-    val testSh = base.filter(isTest)
+    val testSh = base.filter(col("is_test"))
       .select(col("doc_id"), explode(col("sh")).as("g")).cache()
-    val trainSh = base.filter(!isTest)
+    val trainSh = base.filter(!col("is_test"))
       .select(explode(col("sh")).as("g")).distinct()
     val counts = testSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val hits = testSh.join(trainSh, "g")
@@ -145,6 +159,12 @@ object Dedup {
     testSh.unpersist()
     out
   }
+
+  /** d6_contamination — [[contamination]] bound to the documents table
+    * with a 10% hash-assigned test split. */
+  def d6Contamination(s: SparkSession, dir: String): DataFrame =
+    contamination(Tables.spread(s, Tables.documents(s, dir)),
+      PortableHash.bucket(col("doc_id"), "contam", 10L) === 0)
 
   /** Shared DuckDB CTE: explode embeddings to (vec_id, position, value)
     * with double-cast values — mirrors VectorOps' double-precision math. */

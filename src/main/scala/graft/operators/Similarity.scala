@@ -19,14 +19,15 @@ import graft.ml.ProductQuantizer
   */
 object Similarity {
 
-  /** s1_ann_brute — exact cosine top-10 per query vector (queries =
-    * vec_id < 5, corpus = everything else). */
-  def s1AnnBrute(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val q = e.filter(col("vec_id") < 5)
+  /** Exact cosine top-k per query over any (vec_id, embedding) query /
+    * corpus frames: queries broadcast against the streamed corpus scan.
+    * The 100 TB shape — linear in corpus, parallel over partitions, one
+    * bounded top-k shuffle. */
+  def annBrute(queries: DataFrame, corpus: DataFrame, k: Int = 10): DataFrame = {
+    val q = queries
       .select(col("vec_id").as("qid"), col("embedding").as("eq"),
         sqrt(VectorOps.normSq(col("embedding"))).as("qn"))
-    val c = e.filter(col("vec_id") >= 5)
+    val c = corpus
       .select(col("vec_id").as("cid"), col("embedding").as("ec"),
         sqrt(VectorOps.normSq(col("embedding"))).as("cn"))
     val cos = VectorOps.dot(col("eq"), col("ec")) / (col("qn") * col("cn"))
@@ -34,10 +35,17 @@ object Similarity {
     // shuffle only candidate winners, never the full scored cross frame
     graft.plans.TopKPerGroup.perKey(
         c.join(broadcast(q)).withColumn("cos", cos),
-        Seq(col("qid")), Seq(col("cos").desc, col("cid")), 10)
+        Seq(col("qid")), Seq(col("cos").desc, col("cid")), k)
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
         col("rank").as("rn"))
       .orderBy("qid", "rn")
+  }
+
+  /** s1_ann_brute — [[annBrute]] on the embeddings table (queries =
+    * vec_id < 5, corpus = everything else). */
+  def s1AnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    annBrute(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5))
   }
 
   /** Random-hyperplane signatures (Charikar STOC 2002 SimHash for
@@ -166,11 +174,10 @@ object Similarity {
     * of model, same regime as the IF/IVF fits); encode/scan/refine are
     * distributed narrow maps + one TopKPerGroup shuffle each.
     * [rows-only]: recall vs s1 is spec-tested. */
-  def s4AnnPq(s: SparkSession, dir: String): DataFrame = {
+  def annPq(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+      shortlist: Int = 50): DataFrame = {
+    val s = corpus.sparkSession
     import s.implicits._
-    val e = Tables.spread(s, Tables.embeddings(s, dir))
-      .select(col("vec_id"), col("embedding"))
-    val corpus = e.filter(col("vec_id") >= 5)
     val n = corpus.count()
     val trainFrac = math.min(1.0, 20000.0 / math.max(n, 1L))
     val sample = Sampling.uniform(corpus, col("vec_id"), trainFrac)
@@ -191,26 +198,34 @@ object Similarity {
     val codes = corpus
       .select(col("vec_id").as("cid"), encodeUdf(col("embedding")).as("code"))
       .withColumn("cn_pq", cnUdf(col("code")))
-    val qtabs = e.filter(col("vec_id") < 5)
+    val qtabs = queries
       .select(col("vec_id").as("qid"), col("embedding").as("eq"),
         sqrt(VectorOps.normSq(col("embedding"))).as("qn"),
         tableUdf(col("embedding")).as("qtab"))
     val approx = codes.join(broadcast(qtabs))
       .withColumn("acos", adcUdf(col("qtab"), col("code")) / (col("qn") * col("cn_pq")))
-    val shortlist = graft.plans.TopKPerGroup.perKey(
-        approx, Seq(col("qid")), Seq(col("acos").desc, col("cid")), 50)
+    val short = graft.plans.TopKPerGroup.perKey(
+        approx, Seq(col("qid")), Seq(col("acos").desc, col("cid")), shortlist)
       .select("qid", "cid", "eq", "qn")
     // exact re-rank of the shortlist against the uncompressed vectors
-    val exact = shortlist
-      .join(e.select(col("vec_id").as("cid"), col("embedding").as("ec")), "cid")
+    val exact = short
+      .join(corpus.select(col("vec_id").as("cid"), col("embedding").as("ec")), "cid")
       .withColumn("cos",
         VectorOps.dot(col("eq"), col("ec"))
           / (col("qn") * sqrt(VectorOps.normSq(col("ec")))))
     graft.plans.TopKPerGroup.perKey(
-        exact, Seq(col("qid")), Seq(col("cos").desc, col("cid")), 10)
+        exact, Seq(col("qid")), Seq(col("cos").desc, col("cid")), k)
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
         col("rank").as("rn"))
       .orderBy("qid", "rn")
+  }
+
+  /** s4_ann_pq — [[annPq]] on the embeddings table (queries = vec_id < 5,
+    * corpus = everything else). */
+  def s4AnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.spread(s, Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("embedding"))
+    annPq(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5))
   }
 
   val oracle: Map[String, String] = Map(

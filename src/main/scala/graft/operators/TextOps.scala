@@ -17,9 +17,10 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "to", "and")
 
-  /** t2_quality — length / stopword-ratio quality scoring. */
-  def t2Quality(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir)
+  /** Length / stopword-ratio quality scoring over any
+    * (doc_id, text, n_chars) frame. */
+  def qualityOver(docs: DataFrame): DataFrame = {
+    docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_words", size(col("words")).cast("long"))
       .withColumn("n_stop",
@@ -32,6 +33,10 @@ object TextOps {
         col("avg_word_len"), col("stop_ratio"), col("quality"))
       .orderBy("doc_id")
   }
+
+  /** t2_quality — [[qualityOver]] bound to the documents table. */
+  def t2Quality(s: SparkSession, dir: String): DataFrame =
+    qualityOver(Tables.documents(s, dir))
 
   /** t3_tokens — token counting: whitespace split, regex word tokens, and
     * a chars/4 BPE-style estimate. */
@@ -113,16 +118,20 @@ object TextOps {
     * no shuffle). [sql-oracle] via the portable md5-prefix hash —
     * fingerprints are only useful if every engine in the pipeline
     * derives the same ones. */
-  def t4Fingerprint(s: SparkSession, dir: String): DataFrame = {
+  def fingerprintOver(docs: DataFrame, gram: Int = 8): DataFrame = {
     val t = col("text")
     val grams = transform(
-      sequence(lit(0), greatest(length(t) - 8, lit(0))),
-      i => PortableHash.mdhash64(t.substr(i + lit(1), lit(8))))
-    Tables.documents(s, dir)
+      sequence(lit(0), greatest(length(t) - gram, lit(0))),
+      i => PortableHash.mdhash64(t.substr(i + lit(1), lit(gram))))
+    docs
       .select(col("doc_id"), array_min(grams).as("fp_min"),
         PortableHash.mdhash64(t).as("fp64"))
       .orderBy("doc_id")
   }
+
+  /** t4_fingerprint — [[fingerprintOver]] bound to the documents table. */
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    fingerprintOver(Tables.documents(s, dir))
 
   /** Vocabulary size for t7 — small enough that the synthetic corpus
     * (31 distinct words) yields real `<unk>` mass, large enough to keep
@@ -140,13 +149,12 @@ object TextOps {
     * size — and the scrub itself is a narrow per-row transform with the
     * K words inlined as a literal array (no join, no shuffle, stays in
     * whole-stage codegen). [sql-oracle]. */
-  def t7VocabScrub(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def vocabScrub(docs: DataFrame, vocabK: Int = VocabK): DataFrame = {
     val vocab = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w"))
-      .limit(VocabK)
+      .limit(vocabK)
       .collect().map(_.getString(0)).toSeq
     val words = split(col("text"), " ")
     val scrubbed = array_join(
@@ -157,6 +165,10 @@ object TextOps {
         md5(scrubbed).as("scrub_md5"))
       .orderBy("doc_id")
   }
+
+  /** t7_vocab_scrub — [[vocabScrub]] bound to the documents table. */
+  def t7VocabScrub(s: SparkSession, dir: String): DataFrame =
+    vocabScrub(Tables.documents(s, dir))
 
   val oracle: Map[String, String] = Map(
     "t4_fingerprint" ->
