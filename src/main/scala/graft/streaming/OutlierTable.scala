@@ -21,6 +21,13 @@ case class OutlierTableState(rows: Vector[Flagged])
   * partition across executors, so the operator scales with entity
   * cardinality, never event volume. `idleTimeout` evicts tables for
   * entities that stop reporting.
+  *
+  * Composition note: Spark allows only one non-append stateful operator
+  * per streaming query, so this cannot chain after the (also stateful)
+  * sliding detector in a single query. Run it over a flag stream
+  * directly (its own query, as the spec does), or derive the table from
+  * the detector's append sink batch-side (graft.Live's shape — which is
+  * also the reference's: foreachBatch appends, the dashboard rereads).
   */
 object OutlierTable {
 
