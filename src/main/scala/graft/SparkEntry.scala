@@ -68,6 +68,7 @@ object SparkEntry {
     "a1_isoforest" -> (AnomalyML.a1Isoforest _),
     "a2_ewma" -> (AnomalyML.a2Ewma _),
     "a3_kmeans_outlier" -> (AnomalyML.a3KmeansOutlier _),
+    "a4_cusum_drift" -> (AnomalyML.a4CusumDrift _),
     "s3_ivf" -> (Similarity.s3Ivf _),
     "s4_ann_pq" -> (Similarity.s4AnnPq _),
     "m1_binary_meta" -> (Multimodal.m1BinaryMeta _),

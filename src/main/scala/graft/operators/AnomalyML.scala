@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -9,6 +9,14 @@ import graft.ml.GraftIsolationForest
 
 /** Event row for typed per-key processing (encoder-friendly). */
 case class EventRow(event_id: Long, user_id: Long, value: Double, secs: Long)
+
+/** Keyed value with per-key baseline stats (CUSUM input). */
+case class KeyedVal(key: String, event_id: Long, secs: Long, value: Double,
+    mean: Double, sd: Double)
+
+/** CUSUM drift alarm. */
+case class CusumAlarm(event_id: Long, key: String, value: Double,
+    side: String, stat: Double)
 
 /** Scored EWMA output row. */
 case class EwmaRow(event_id: Long, user_id: Long, value: Double,
@@ -121,6 +129,66 @@ object AnomalyML {
     e.unpersist()
     out
   }
+
+  /** Two-sided CUSUM drift detection (Page, "Continuous inspection
+    * schemes", Biometrika 1954) over any keyed value stream: per key,
+    * S⁺ accumulates above-baseline deviation beyond a slack of k·σ and
+    * alarms past h·σ (S⁻ symmetric below), resetting after each alarm.
+    * CUSUM fires on sustained small shifts — the concept-drift signal
+    * the reference's producer injects but its per-window Isolation
+    * Forest silently adapts to instead of reporting.
+    *
+    * Baselines (per-key mean/σ) are one map-side-combined agg joined
+    * back broadcast; the sequential scan is the same secondary-sort +
+    * O(1)-state mapPartitions shape as a2 — no per-key materialization,
+    * a hot key streams through. */
+  def cusum(df: DataFrame, keyCol: Column, idCol: Column, tsCol: Column,
+      valCol: Column, slackK: Double = 0.5, alarmH: Double = 5.0): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val base = df.select(keyCol.cast("string").as("key"), idCol.as("event_id"),
+      tsCol.cast("long").as("secs"), valCol.cast("double").as("value"))
+    val stats = base.groupBy("key")
+      .agg(avg("value").as("mean"), stddev_pop(col("value")).as("sd"))
+    base.join(broadcast(stats), "key")
+      .select(col("key"), col("event_id"), col("secs"), col("value"),
+        col("mean"), col("sd"))
+      .repartition(col("key"))
+      .sortWithinPartitions("key", "secs", "event_id")
+      .as[KeyedVal]
+      .mapPartitions { it =>
+        var cur: String = null
+        var pos = 0.0
+        var neg = 0.0
+        it.flatMap { r =>
+          if (r.key != cur) { cur = r.key; pos = 0.0; neg = 0.0 }
+          val slack = slackK * r.sd
+          val h = alarmH * r.sd
+          pos = math.max(0.0, pos + (r.value - r.mean - slack))
+          neg = math.min(0.0, neg + (r.value - r.mean + slack))
+          val out = Vector.newBuilder[CusumAlarm]
+          if (r.sd > 0 && pos > h) {
+            out += CusumAlarm(r.event_id, r.key, r.value, "up",
+              math.rint(pos / r.sd * 1e6) / 1e6)
+            pos = 0.0
+          }
+          if (r.sd > 0 && neg < -h) {
+            out += CusumAlarm(r.event_id, r.key, r.value, "down",
+              math.rint(-neg / r.sd * 1e6) / 1e6)
+            neg = 0.0
+          }
+          out.result()
+        }
+      }
+      .toDF()
+      .orderBy("event_id", "side")
+  }
+
+  /** a4_cusum_drift — [[cusum]] bound to events.value per event_type.
+    * [rows-only]: recursion-defined, spec-tested on planted drift. */
+  def a4CusumDrift(s: SparkSession, dir: String): DataFrame =
+    cusum(Tables.events(s, dir), col("event_type"), col("event_id"),
+      col("ts"), col("value"))
 
   /** a2_ewma — EWMA smoothing (α=0.3) + residuals per user; the batch
     * twin of st3's streaming state.

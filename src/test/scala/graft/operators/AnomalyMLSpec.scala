@@ -25,6 +25,36 @@ class AnomalyMLSpec extends SparkSpec {
     }
   }
 
+  test("a4_cusum fires on planted drift, stays silent on stationary series") {
+    import spark.implicits._
+    // drifting key: slow upward ramp (sustained small shift — the CUSUM
+    // regime); stationary key: alternating ±1 (bounded deviations eaten
+    // by the slack term)
+    val n = 2000
+    val rows =
+      (0 until n).map(i => ("drift", i.toLong, i.toLong, i * 0.01)) ++
+        (0 until n).map(i => ("flat", (n + i).toLong, i.toLong,
+          if (i % 2 == 0) 1.0 else -1.0))
+    val df = rows.toDF("k", "id", "secs", "v")
+    val alarms = AnomalyML.cusum(df, col("k"), col("id"), col("secs"), col("v"))
+      .collect()
+    val byKey = alarms.groupBy(_.getString(1))
+    assert(byKey.contains("drift"), "drift must raise CUSUM alarms")
+    assert(!byKey.contains("flat"), s"stationary key must stay silent: ${byKey.get("flat")}")
+    // the ramp drifts upward through its own global mean: early values
+    // sit far below (down alarms), late values far above (up alarms)
+    val sides = byKey("drift").map(_.getString(3)).toSet
+    assert(sides == Set("up", "down"), s"sides $sides")
+  }
+
+  test("a4_cusum_drift on events is deterministic with in-band stats") {
+    val a = AnomalyML.a4CusumDrift(spark, sf).collect()
+    val b = AnomalyML.a4CusumDrift(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    // every alarm's normalized statistic must exceed the h=5σ threshold
+    a.foreach(r => assert(r.getDouble(4) > 5.0))
+  }
+
   test("a1 is deterministic across runs") {
     val x = AnomalyML.a1Isoforest(spark, sf).collect().toSeq
     val y = AnomalyML.a1Isoforest(spark, sf).collect().toSeq
