@@ -191,6 +191,38 @@ class StreamingSpec extends SparkSpec {
       s"want seconds 3..7, got ${secs.mkString(",")}")
   }
 
+  test("st8_drift_detector alarms on cross-batch drift, silent when stationary") {
+    implicit val sc = spark.sqlContext
+    implicit val ss = spark
+    import spark.implicits._
+    val in = MemoryStream[Reading]
+    val q = DriftDetector.detect(in.toDS())
+      .writeStream.format("memory").queryName("st8_out")
+      .outputMode(OutputMode.Append).start()
+    def r(key: String, sec: Int, v: Double) =
+      Reading(ts(f"2024-01-01 ${sec / 3600}%02d:${sec / 60 % 60}%02d:${sec % 60}%02d"),
+        key, v, 0.0, 50.0)
+    // batch 1: 60 baseline readings per key, alternating +-1 around 100
+    val base = (0 until 60).flatMap(i => Seq(
+      r("drifty", i, if (i % 2 == 0) 101.0 else 99.0),
+      r("steady", i, if (i % 2 == 0) 101.0 else 99.0)))
+    in.addData(base: _*)
+    q.processAllAvailable()
+    assert(spark.table("st8_out").count() == 0, "no alarms during baseline")
+    // batch 2: drifty ramps +0.5/reading (sustained shift); steady stays
+    val next = (60 until 120).flatMap(i => Seq(
+      r("drifty", i, 100.0 + (i - 60) * 0.5),
+      r("steady", i, if (i % 2 == 0) 101.0 else 99.0)))
+    in.addData(next: _*)
+    q.processAllAvailable()
+    q.stop()
+    val alarms = spark.table("st8_out").collect()
+    assert(alarms.nonEmpty, "drift must alarm (state carried across batches)")
+    assert(alarms.forall(_.getAs[String]("plant_type") == "drifty"),
+      s"steady key must stay silent: ${alarms.mkString(";")}")
+    assert(alarms.forall(_.getAs[String]("side") == "up"))
+  }
+
   test("st4_generator is deterministic, 10% anomalies, non-negative, seasonal") {
     val n = 8L * 3600 * 24 // one synthetic day at 8 Hz
     val t = Generator.telemetry(spark.range(n).toDF("value")).cache()
