@@ -21,23 +21,34 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    // min of two timed runs per query: the host is multi-tenant and a
-    // single run can absorb 10-100x transient contention; min-of-N is
-    // the standard robust estimator of the true cost
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // min of three timed runs per query, taken as INTERLEAVED FULL SWEEPS
+    // (pass 1 over every query, then pass 2, then pass 3): the host is
+    // multi-tenant and a contention burst lasting tens of seconds would
+    // poison back-to-back runs of the SAME query, but a sweep puts
+    // minutes between a query's samples so a burst lands on different
+    // queries in different passes — min-of-N then recovers the true cost.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    for (pass <- 1 to 3; name <- names) {
+      val fn = SparkEntry.queries(name)
       // a query that throws is a FAILURE, never a timing — recording the
       // elapsed time of an instant crash would let a regression read as
       // a speedup. Failed queries report -1.0 and land in "failed".
-      val dts = (1 to 2).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9)
-        } catch { case t: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
-          None
-        }
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        samples(name) = dt :: samples(name)
+        System.err.println(f"[bench] pass $pass $name%-22s $dt%8.2f s")
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench] pass $pass $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
       }
+    }
+    val results = names.map { name =>
+      val dts = samples(name)
       val dt = if (dts.isEmpty) -1.0 else dts.min
-      System.err.println(f"[bench] $name%-22s $dt%8.2f s")
+      System.err.println(f"[bench] $name%-22s $dt%8.2f s (min of ${dts.size})")
       name -> dt
     }
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

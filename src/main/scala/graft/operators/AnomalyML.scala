@@ -29,9 +29,14 @@ case class EwmaRow(event_id: Long, user_id: Long, value: Double,
   */
 object AnomalyML {
 
-  /** a1_isoforest — per-event_type Isolation Forest scores over `value`
-    * (the reference fits per plant_type on its feature set and flags
-    * contamination-quantile outliers; here: score > 0.62).
+  /** a1_isoforest — per-event_type Isolation Forest scores over `value`,
+    * flagging each key's contamination-quantile outliers (the
+    * reference's IsolationForest(contamination=0.05) regime,
+    * app3_ML.py:164-166): the cut is the per-key 95th percentile of the
+    * key's own scores, self-calibrating as composition shifts — never a
+    * fixed score constant. The quantile is one map-side-combined agg
+    * broadcast back; `percentile` is the oracle-exactness choice — at
+    * real scale swap `approx_percentile`, same plan shape.
     *
     * The training pool is a deterministic pseudo-random sample per key:
     * a cheap per-key count picks a hash-filter rate that leaves ≥ ~4k
@@ -58,8 +63,11 @@ object AnomalyML {
     val bc = s.sparkContext.broadcast(forests)
     val scoreUdf = udf((t: String, v: Double) =>
       bc.value.get(t).map(_.score(Array(v))).getOrElse(0.5))
-    ev.withColumn("score", scoreUdf(col("event_type"), col("value")))
-      .filter(col("score") > 0.62)
+    val scored = ev.withColumn("score", scoreUdf(col("event_type"), col("value")))
+    val cuts = scored.groupBy("event_type")
+      .agg(expr("percentile(score, 0.95)").as("if_cut"))
+    scored.join(broadcast(cuts), "event_type")
+      .filter(col("score") > col("if_cut"))
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("score"), 6).as("score"))
       .orderBy("event_id")

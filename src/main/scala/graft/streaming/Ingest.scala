@@ -19,24 +19,40 @@ import org.apache.spark.sql.types._
   */
 object Ingest {
 
-  /** The reference producer's record shape (producer/producer-3.py:21-77). */
+  /** The plant-specific feature columns (two per plant type — the
+    * reference's `plant_features` minus the shared pair,
+    * app3_ML.py:31-36); sparse: null unless the row's plant_type owns
+    * them (producer-3.py:91-110). */
+  val plantSpecificFields: Seq[String] = Seq(
+    "fuel_consumption", "emissions",
+    "wind_speed", "turbine_efficiency",
+    "solar_radiation", "panel_temperature",
+    "water_flow_rate", "turbine_rotation_speed")
+
+  /** The reference producer's full record shape (producer/
+    * producer-3.py:21-110; consumer schema app3_ML.py:61-76). */
   val telemetrySchema: StructType = StructType(Seq(
     StructField("timestamp", StringType),
     StructField("plant_type", StringType),
     StructField("region", StringType),
     StructField("power_output", DoubleType),
     StructField("demand", DoubleType),
-    StructField("grid_frequency", DoubleType)))
+    StructField("grid_frequency", DoubleType)) ++
+    plantSpecificFields.map(StructField(_, DoubleType)))
 
   /** Parse `value` JSON → typed columns, convert the ISO timestamp, and
-    * enforce the reference's validation: required fields present and
-    * numeric (malformed rows → dropped, mirroring dropna). */
+    * enforce the reference's validation: shared fields present and
+    * numeric (malformed rows → dropped, mirroring dropna). The sparse
+    * plant-specific columns stay nullable — the reference drops rows on
+    * the per-type feature subset only (app3_ML.py:119-121), which the
+    * detector handles downstream. */
   def parseTelemetry(raw: DataFrame): DataFrame =
     raw.select(from_json(col("value"), telemetrySchema).as("r"))
-      .select(
+      .select(Seq(
         to_timestamp(col("r.timestamp")).as("ts"),
         col("r.plant_type"), col("r.region"),
-        col("r.power_output"), col("r.demand"), col("r.grid_frequency"))
+        col("r.power_output"), col("r.demand"), col("r.grid_frequency")) ++
+        plantSpecificFields.map(f => col(s"r.$f")): _*)
       .filter(col("ts").isNotNull && col("plant_type").isNotNull &&
         col("power_output").isNotNull && col("demand").isNotNull &&
         col("grid_frequency").isNotNull)

@@ -18,10 +18,11 @@ object Pipeline {
   /** Serialize telemetry to the reference producer's JSON record shape
     * (the exact bytes a Kafka consumer would see in `value`). */
   def toKafkaValue(telemetry: DataFrame): DataFrame =
-    telemetry.select(to_json(struct(
+    telemetry.select(to_json(struct(Seq(
       date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSS").as("timestamp"),
       col("plant_type"), col("region"),
-      col("power_output"), col("demand"), col("grid_frequency"))).as("value"))
+      col("power_output"), col("demand"), col("grid_frequency")) ++
+      Ingest.plantSpecificFields.map(col): _*)).as("value"))
 
   /** value-JSON → parsed → flagged outliers (the consumer side). */
   def detect(raw: DataFrame)(implicit s: SparkSession): Dataset[Flagged] = {

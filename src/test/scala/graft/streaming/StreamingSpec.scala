@@ -90,9 +90,89 @@ class StreamingSpec extends SparkSpec {
       s"spike not flagged: ${flagged.mkString(";")}")
     val spike = flagged.find(_.getAs[Double]("power_output") == 400.0).get
     assert(math.abs(spike.getAs[Double]("zscore")) > SlidingDetector.ZThresh)
-    assert(spike.getAs[Double]("if_score") > SlidingDetector.IfThresh)
+    assert(spike.getAs[Double]("if_score") > 0.6) // far outside the band
     assert(!flagged.exists(r => r.getAs[Double]("power_output") <= 102.0),
       "normal readings must not be flagged")
+  }
+
+  test("st3 multivariate: joint two-feature anomaly flagged while z-score stays quiet") {
+    implicit val sc = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val in = MemoryStream[Reading]
+    val q = SlidingDetector.detect(in.toDS())
+      .writeStream.format("memory").queryName("st3_mv_out")
+      .outputMode(OutputMode.Append).start()
+    // warmup: wind readings where turbine_efficiency tracks wind_speed
+    // (eff = 60 + ws ± 1) — the joint structure the forest learns
+    def wind(sec: Int, ws: Double, eff: Double, power: Double = 100.0) =
+      Reading(ts(f"2024-01-01 ${sec / 3600}%02d:${sec / 60 % 60}%02d:${sec % 60}%02d"),
+        "wind", power, 90.0, 50.0,
+        wind_speed = Some(ws), turbine_efficiency = Some(eff))
+    val warm = (0 until 200).map { i =>
+      val ws = 5.0 + (i % 41) * 0.5            // 5..25 m/s
+      val eff = 60.0 + ws + (i % 3 - 1) * 1.0  // 64..86, correlated
+      wind(i, ws, eff, 100.0 + (i % 7) * 0.5)
+    }
+    in.addData(warm: _*)
+    q.processAllAvailable()
+    // planted JOINT anomaly: ws=24 (in range), eff=66 (in range — the
+    // band's floor is ~64), but eff at ws=24 should be ~84: each
+    // marginal is unremarkable, the combination is impossible. A
+    // univariate monitor on any single field cannot see this.
+    in.addData(
+      wind(200, 15.0, 75.0),        // normal, on the diagonal
+      wind(201, 24.0, 66.0, 101.0), // joint anomaly, power in band
+      wind(202, 18.0, 78.0))        // normal, on the diagonal
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("st3_mv_out").collect()
+      .filter(_.getAs[Timestamp]("ts").toString >= "2024-01-01 00:03:20")
+    val joint = flagged.find(_.getAs[Timestamp]("ts") == ts("2024-01-01 00:03:21"))
+    assert(joint.isDefined,
+      s"joint anomaly must be flagged; flagged after warmup: ${flagged.mkString(";")}")
+    // and the z channel (power_output) was quiet — only the
+    // multivariate forest could have caught it
+    assert(math.abs(joint.get.getAs[Double]("zscore")) < SlidingDetector.ZThresh)
+    assert(!flagged.exists(_.getAs[Timestamp]("ts") == ts("2024-01-01 00:03:20")))
+    assert(!flagged.exists(_.getAs[Timestamp]("ts") == ts("2024-01-01 00:03:22")))
+  }
+
+  test("st3 contamination quantile: ~5% flag rate clean, elevated when injected") {
+    implicit val sc = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val in = MemoryStream[Reading]
+    val q = SlidingDetector.detect(in.toDS())
+      .writeStream.format("memory").queryName("st3_rate_out")
+      .outputMode(OutputMode.Append).start()
+    // deterministic uniform-ish noise in [0,1)
+    def u(i: Int, salt: Int) = ((i * 2654435761L + salt * 40503L) % 1000) / 1000.0
+    def r(sec: Int, power: Double) =
+      Reading(ts(f"2024-01-01 ${sec / 3600}%02d:${sec / 60 % 60}%02d:${sec % 60}%02d"),
+        "plant", power, 90.0 + u(sec, 7) * 5.0, 50.0)
+    // batch 1: 500-row clean window, power uniform in [100, 110)
+    in.addData((0 until 500).map(i => r(i, 100.0 + u(i, 1) * 10.0)): _*)
+    q.processAllAvailable()
+    val warmFlags = spark.table("st3_rate_out").count()
+    // batch 2: 400 more CLEAN rows from the same distribution — the
+    // contamination quantile should flag ≈5% of them
+    in.addData((500 until 900).map(i => r(i, 100.0 + u(i, 1) * 10.0)): _*)
+    q.processAllAvailable()
+    val cleanFlags = spark.table("st3_rate_out").count() - warmFlags
+    val cleanRate = cleanFlags / 400.0
+    // batch 3: 400 rows with 10% injected 3x spikes
+    in.addData((900 until 1300).map(i =>
+      if (i % 10 == 0) r(i, 3.0 * (100.0 + u(i, 1) * 10.0))
+      else r(i, 100.0 + u(i, 1) * 10.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val injFlags = spark.table("st3_rate_out").count() - warmFlags - cleanFlags
+    val injRate = injFlags / 400.0
+    info(s"clean rate=$cleanRate injected rate=$injRate")
+    assert(cleanRate <= 0.12, s"clean flag rate $cleanRate should be ≈5%")
+    assert(injRate >= cleanRate + 0.05,
+      s"injected rate $injRate must be elevated over clean $cleanRate")
   }
 
   test("st5_stream_dedup drops replayed records within the watermark") {
