@@ -31,20 +31,54 @@ object Dedup {
   def d1DedupExact(s: SparkSession, dir: String): DataFrame =
     exactDedup(Tables.documents(s, dir))
 
-  /** d5_embed_neardup — exact embedding-cosine near-dup pairs (cos ≥ 0.45).
-    * Self-join with a<b; the dot product runs in codegen'd higher-order
-    * functions (VectorOps), no UDF. */
-  def d5EmbedNeardup(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val a = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+  /** Exact embedding-cosine near-dup pairs (cos ≥ minCos) as a BLOCKED
+    * TRIANGLE EQUI-JOIN (the 1-bucket-theta grid of Okcan & Riedewald,
+    * SIGMOD 2011, specialized to a self-join): every vector gets a hash
+    * block in [0, blocks); the pair space is the upper triangle of
+    * block-pair cells (i ≤ j); the left side replicates each row to its
+    * cells (blk, j ≥ blk), the right side to (i ≤ blk, blk), and the
+    * join is a plain shuffle equi-join on the cell key — NEVER a
+    * BroadcastNestedLoopJoin. An unordered pair meets in exactly one
+    * cell (once for i < j; the a<b filter dedups the diagonal).
+    *
+    * Scale shape: memory per task is 2·n/blocks vectors (bounded by the
+    * block count dial — no broadcast of half the corpus), parallelism is
+    * blocks·(blocks+1)/2 hash-uniform cells, shuffle volume is
+    * ~(blocks+1)/2 × corpus. The COMPUTE stays exact-quadratic by
+    * definition — this operator is the verification twin. Note sign-LSH
+    * canNOT prefilter this threshold losslessly: at cos 0.45 (θ≈63°)
+    * vs a cos≈0 random baseline, per-bit collision is 0.65 vs 0.50, so
+    * any banding that prunes random pairs also misses true pairs at
+    * rates ≥10⁻³ (the qualifying pairs here sit at 0.45–0.51, barely
+    * above noise — measured, see git history). The 100 TB near-dup
+    * paths are d2/d3/d4 (banded candidates) and s2 (ANN top-k). */
+  def embedNeardup(e: DataFrame, minCos: Double = 0.45,
+      blocks: Int = 16): DataFrame = {
+    val withBlock = e.select(col("vec_id"), col("embedding"),
+      pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("blk"))
+    val left = withBlock
+      .withColumn("bj", explode(sequence(col("blk"), lit(blocks - 1))))
+      .select(col("blk").as("bi"), col("bj"),
+        col("vec_id").as("a"), col("embedding").as("ea"))
+    val right = withBlock
+      .withColumn("bi", explode(sequence(lit(0), col("blk"))))
+      .select(col("bi"), col("blk").as("bj"),
+        col("vec_id").as("b"), col("embedding").as("eb"))
     val cos = VectorOps.cosine(col("ea"), col("eb"))
-    a.join(b, col("a") < col("b"))
+    left.join(right, Seq("bi", "bj"))
+      .filter(col("bi") =!= col("bj") || col("a") < col("b"))
       .withColumn("cos", cos)
-      .filter(col("cos") >= 0.45)
-      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), round(col("cos"), 6).as("cos"))
       .orderBy("a", "b")
   }
+
+  /** d5_embed_neardup — [[embedNeardup]] on the embeddings table
+    * (cos ≥ 0.45). The dot product runs in codegen'd native expressions
+    * (VectorOps), no UDF. */
+  def d5EmbedNeardup(s: SparkSession, dir: String): DataFrame =
+    embedNeardup(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
 
   /** Shingles appearing in more documents than this are dropped from
     * the index AND from the Jaccard universe (stopword-shingle removal,
