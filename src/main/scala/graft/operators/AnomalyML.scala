@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -192,10 +192,168 @@ object AnomalyML {
       .orderBy("event_id", "side")
   }
 
-  /** a4_cusum_drift — [[cusum]] bound to events.value per event_type.
+  /** Local CUSUM scan over one (key, chunk)'s time-ordered rows from a
+    * given start state; returns (alarms, endPos, endNeg). */
+  private def scanChunk(rows: Iterator[KeyedVal], startPos: Double,
+      startNeg: Double, slackK: Double, alarmH: Double)
+      : (Vector[CusumAlarm], Double, Double) = {
+    var pos = startPos
+    var neg = startNeg
+    val out = Vector.newBuilder[CusumAlarm]
+    rows.foreach { r =>
+      val slack = slackK * r.sd
+      val h = alarmH * r.sd
+      pos = math.max(0.0, pos + (r.value - r.mean - slack))
+      neg = math.min(0.0, neg + (r.value - r.mean + slack))
+      if (r.sd > 0 && pos > h) {
+        out += CusumAlarm(r.event_id, r.key, r.value, "up",
+          math.rint(pos / r.sd * 1e6) / 1e6)
+        pos = 0.0
+      }
+      if (r.sd > 0 && neg < -h) {
+        out += CusumAlarm(r.event_id, r.key, r.value, "down",
+          math.rint(-neg / r.sd * 1e6) / 1e6)
+        neg = 0.0
+      }
+    }
+    (out.result(), pos, neg)
+  }
+
+  /** Two-phase (chunk-parallel) CUSUM, alarm-for-alarm equal to
+    * [[cusum]] but with parallelism = #keys × #chunks instead of #keys
+    * (the VERDICT r2 scale fix: a low-cardinality key universe no
+    * longer serializes the scan into a handful of tasks).
+    *
+    * The reset-on-alarm recurrence has no closed-form chunk transfer
+    * (an alarm resets state to 0, so a chunk's end state is not an
+    * affine max-plus map of its start), so exactness comes from a
+    * FIXPOINT stitch instead: each (key, time-chunk) is scanned from an
+    * assumed start state, the driver stitches the O(keys×chunks)
+    * boundary states (chunk k's true start = chunk k-1's end), and only
+    * chunks whose assumption was wrong rescan with the corrected start.
+    * Chunk 0 is exact immediately; each round fixes at least the next
+    * wrong chunk, so ≤ chunks rounds, and in practice 1–2 (CUSUM state
+    * returns to 0 whenever the series spends any stretch inside the
+    * slack band, which decouples chunk ends from their starts). A final
+    * distributed pass emits alarms with the exact starts.
+    *
+    * Scale: the per-round driver collect is the keys×chunks boundary
+    * table (two doubles per cell) — an aggregate bounded by the chunk
+    * grid, never row data. Each round shuffles only still-dirty chunks
+    * (filter pushed below the repartition). */
+  def cusumChunked(df: DataFrame, keyCol: Column, idCol: Column, tsCol: Column,
+      valCol: Column, slackK: Double = 0.5, alarmH: Double = 5.0,
+      chunks: Int = 16): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val base0 = df.select(keyCol.cast("string").as("key"), idCol.as("event_id"),
+      tsCol.cast("long").as("secs"), valCol.cast("double").as("value"))
+    val stats = base0.groupBy("key")
+      .agg(avg("value").as("mean"), stddev_pop(col("value")).as("sd"))
+    val Row(minS: Long, maxS: Long) =
+      base0.agg(min("secs"), max("secs")).collect()(0)
+    val span = math.max(1L, maxS - minS + 1)
+    val base = base0.join(broadcast(stats), "key")
+      .withColumn("chunk",
+        ((col("secs") - lit(minS)) * lit(chunks.toLong) / lit(span)).cast("int"))
+      .select(col("key"), col("chunk"), col("event_id"), col("secs"),
+        col("value"), col("mean"), col("sd"))
+      .cache()
+    // fixpoint loop over boundary states: scan dirty chunks from their
+    // assumed starts, stitch, repeat until assumptions hold
+    type Cell = (String, Int)
+    var assumed = Map.empty[Cell, (Double, Double)].withDefaultValue((0.0, 0.0))
+    var ends = Map.empty[Cell, (Double, Double)]
+    var dirty: Set[Cell] = null // null = all (first round)
+    var rounds = 0
+    while (dirty == null || dirty.nonEmpty) {
+      rounds += 1
+      require(rounds <= chunks + 1, s"CUSUM stitch failed to converge")
+      val startsBc = s.sparkContext.broadcast(assumed)
+      val dirtyBc = s.sparkContext.broadcast(dirty)
+      val scanned = base
+        .filter(if (dirty == null) lit(true) else
+          udf((k: String, c: Int) => dirtyBc.value.contains((k, c)))
+            .apply(col("key"), col("chunk")))
+        .repartition(col("key"), col("chunk"))
+        .sortWithinPartitions("key", "chunk", "secs", "event_id")
+        .as[(String, Int, Long, Long, Double, Double, Double)]
+        .mapPartitions { it =>
+          // group-contiguous scan: partition is sorted by (key, chunk)
+          val buf = it.buffered
+          new Iterator[(String, Int, Double, Double)] {
+            def hasNext = buf.hasNext
+            def next() = {
+              val (k, c) = (buf.head._1, buf.head._2)
+              val (sp, sn) = startsBc.value((k, c))
+              val rows = new Iterator[KeyedVal] {
+                def hasNext = buf.hasNext && buf.head._1 == k && buf.head._2 == c
+                def next() = {
+                  val r = buf.next()
+                  KeyedVal(r._1, r._3, r._4, r._5, r._6, r._7)
+                }
+              }
+              val (_, ep, en) = scanChunk(rows, sp, sn, slackK, alarmH)
+              (k, c, ep, en)
+            }
+          }
+        }
+        .collect()
+      ends = ends ++ scanned.map { case (k, c, ep, en) => (k, c) -> (ep, en) }
+      // stitch: true start of chunk c = end of the key's previous chunk
+      val wanted = ends.keys.groupBy(_._1).flatMap { case (k, cells) =>
+        val cs = cells.map(_._2).toSeq.sorted
+        cs.zipWithIndex.map { case (c, i) =>
+          (k, c) -> (if (i == 0) (0.0, 0.0) else ends((k, cs(i - 1))))
+        }
+      }
+      // (.iterator: Map.collect of pairs would rebuild a Map and
+      // collapse every dirty cell of one key into a single entry)
+      dirty = wanted.iterator.collect {
+        case (cell, want) if assumed(cell) != want => cell
+      }.toSet
+      assumed = wanted.withDefaultValue((0.0, 0.0))
+      if (sys.env.contains("GRAFT_DEBUG_CUSUM"))
+        System.err.println(s"[cusum] round $rounds scanned=${scanned.length} " +
+          s"dirty=${dirty.size}")
+    }
+    // final distributed pass: alarms from the exact start states
+    val startsBc = s.sparkContext.broadcast(assumed)
+    val out = base
+      .repartition(col("key"), col("chunk"))
+      .sortWithinPartitions("key", "chunk", "secs", "event_id")
+      .as[(String, Int, Long, Long, Double, Double, Double)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Vector[CusumAlarm]] {
+          def hasNext = buf.hasNext
+          def next() = {
+            val (k, c) = (buf.head._1, buf.head._2)
+            val (sp, sn) = startsBc.value((k, c))
+            val rows = new Iterator[KeyedVal] {
+              def hasNext = buf.hasNext && buf.head._1 == k && buf.head._2 == c
+              def next() = {
+                val r = buf.next()
+                KeyedVal(r._1, r._3, r._4, r._5, r._6, r._7)
+              }
+            }
+            scanChunk(rows, sp, sn, slackK, alarmH)._1
+          }
+        }.flatten
+      }
+      .toDF()
+      .orderBy("event_id", "side")
+      .localCheckpoint(true)
+    base.unpersist()
+    out
+  }
+
+  /** a4_cusum_drift — chunk-parallel [[cusumChunked]] bound to
+    * events.value per event_type ([[cusum]] is the sequential twin —
+    * spec-asserted alarm-for-alarm equal).
     * [rows-only]: recursion-defined, spec-tested on planted drift. */
   def a4CusumDrift(s: SparkSession, dir: String): DataFrame =
-    cusum(Tables.events(s, dir), col("event_type"), col("event_id"),
+    cusumChunked(Tables.events(s, dir), col("event_type"), col("event_id"),
       col("ts"), col("value"))
 
   /** a2_ewma — EWMA smoothing (α=0.3) + residuals per user; the batch

@@ -55,6 +55,32 @@ class AnomalyMLSpec extends SparkSpec {
     a.foreach(r => assert(r.getDouble(4) > 5.0))
   }
 
+  test("cusumChunked is alarm-for-alarm equal to the sequential cusum twin") {
+    import spark.implicits._
+    // planted drift + stationary + a key with alarms near chunk
+    // boundaries (state carried across chunks must be exact)
+    val n = 2000
+    val rows =
+      (0 until n).map(i => ("drift", i.toLong, i.toLong, i * 0.01)) ++
+        (0 until n).map(i => ("flat", (n + i).toLong, i.toLong,
+          if (i % 2 == 0) 1.0 else -1.0)) ++
+        (0 until n).map(i => ("waves", (2 * n + i).toLong, i.toLong,
+          math.sin(i / 50.0) * 3.0 + (i % 3) * 0.1))
+    val df = rows.toDF("k", "id", "secs", "v")
+    val seqOut = AnomalyML.cusum(df, col("k"), col("id"), col("secs"), col("v"))
+      .collect().toSeq
+    val parOut = AnomalyML.cusumChunked(df, col("k"), col("id"), col("secs"),
+        col("v"), chunks = 16)
+      .collect().toSeq
+    assert(parOut.nonEmpty)
+    assert(parOut == seqOut, s"chunked=${parOut.size} seq=${seqOut.size}")
+    // and on the real events table
+    val a = AnomalyML.cusum(graft.Tables.events(spark, sf), col("event_type"),
+      col("event_id"), col("ts"), col("value")).collect().toSeq
+    val b = AnomalyML.a4CusumDrift(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
   test("a1 is deterministic across runs") {
     val x = AnomalyML.a1Isoforest(spark, sf).collect().toSeq
     val y = AnomalyML.a1Isoforest(spark, sf).collect().toSeq
