@@ -22,7 +22,7 @@ import graft.Tables
   */
 object EventOps {
 
-  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
+  private[graft] def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 6))).cast("double")
   /** Exact sum of squares (values ≤ ~1e3, rows ≤ ~1e6 ⇒ fits 28,10). */
   private def dsumSq(c: Column): Column = sum((c * c).cast(DecimalType(28, 10))).cast("double")
 

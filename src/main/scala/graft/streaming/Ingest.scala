@@ -40,6 +40,33 @@ object Ingest {
     StructField("grid_frequency", DoubleType)) ++
     plantSpecificFields.map(StructField(_, DoubleType)))
 
+  /** Kafka's wire shape (binary key/value/topic/partition/offset) → the
+    * string `value` frame [[parseTelemetry]] takes — the
+    * `CAST(value AS STRING)` step of app/app3_ML.py:87-89. Works on any
+    * DataFrame with a binary-or-string `value` column, so MemoryStream
+    * tests and a real Kafka source share one code path. */
+  def valueFrame(kafkaShaped: DataFrame): DataFrame =
+    kafkaShaped.selectExpr("CAST(value AS STRING) AS value")
+
+  /** A real Kafka source in the reference's configuration
+    * (app/app3_ML.py:79-89: subscribe topic, maxOffsetsPerTrigger
+    * throttle), already cast to the `value` frame. COMPILE-LEVEL ONLY
+    * in this container: /opt/spark/jars ships no
+    * spark-sql-kafka connector jar and there is no network egress, so
+    * `.load()` would fail at runtime with "Failed to find data source:
+    * kafka" — on a real cluster with the connector on the classpath
+    * this works unchanged. The MemoryStream passthrough spec covers
+    * everything downstream of `.load()` via [[valueFrame]]. */
+  def fromKafka(s: org.apache.spark.sql.SparkSession, bootstrap: String,
+      topic: String, maxOffsetsPerTrigger: Long = 10000,
+      startingOffsets: String = "latest"): DataFrame =
+    valueFrame(s.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .option("startingOffsets", startingOffsets)
+      .load())
+
   /** Parse `value` JSON → typed columns, convert the ISO timestamp, and
     * enforce the reference's validation: shared fields present and
     * numeric (malformed rows → dropped, mirroring dropna). The sparse

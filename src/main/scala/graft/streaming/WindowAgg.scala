@@ -14,21 +14,33 @@ import org.apache.spark.sql.functions._
   */
 object WindowAgg {
 
+  /** Generic watermarked tumbling-window aggregation: any event-time
+    * column, key set, and aggregate list. Returns the raw
+    * `window` + keys + aggs frame; callers project. This is the exact
+    * streaming form of a batch `groupBy(window(ts, w), keys).agg(...)`
+    * — the TwinEquivalenceSpec replays a batch table through it and
+    * asserts row equality with the DuckDB-oracled batch twin (e2). */
+  def tumbling(parsed: DataFrame, tsCol: String, keyCols: Seq[String],
+      aggs: Seq[org.apache.spark.sql.Column], watermark: String,
+      window_ : String): DataFrame =
+    parsed
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_) +: keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
   /** 1-minute tumbling stats per plant_type; late data beyond
     * `watermark` is dropped (reference semantics: a batch that arrives
     * after the window closed never re-opens it). */
   def tumblingStats(parsed: DataFrame, watermark: String = "2 minutes",
       window_ : String = "1 minute"): DataFrame =
-    parsed
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), window_), col("plant_type"))
-      .agg(
+    tumbling(parsed, "ts", Seq("plant_type"), Seq(
         count(lit(1)).as("n"),
         avg(col("power_output")).as("avg_power"),
         min(col("power_output")).as("min_power"),
         max(col("power_output")).as("max_power"),
         avg(col("demand")).as("avg_demand"),
-        avg(col("grid_frequency")).as("avg_freq"))
+        avg(col("grid_frequency")).as("avg_freq")),
+      watermark, window_)
       .select(col("window.start").as("w_start"), col("plant_type"),
         col("n"), col("avg_power"), col("min_power"), col("max_power"),
         col("avg_demand"), col("avg_freq"))
