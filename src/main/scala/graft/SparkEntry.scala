@@ -61,6 +61,10 @@ object SparkEntry {
     "i2_split_assign" -> (Sampling.i2SplitAssign _),
     "i3_mixture" -> (Sampling.i3Mixture _),
     "i4_pack_sequences" -> (Sampling.i4PackSequences _),
+    "i5_global_shuffle" -> (Sampling.i5GlobalShuffle _),
+    "t8_redact" -> (TextOps.t8Redact _),
+    "t9_tfidf_topk" -> (TextOps.t9TfidfTopk _),
+    "e13_gap_fill" -> (EventOps.e13GapFill _),
     // rows-only ops (hash/ML-algorithm-defined; spec-tested, no SQL oracle)
     "d3_minhash_lsh" -> (DedupApprox.d3MinhashLsh _),
     "s2_ann_lsh" -> (Similarity.s2AnnLsh _),

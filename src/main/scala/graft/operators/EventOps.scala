@@ -189,7 +189,43 @@ object EventOps {
       | CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2
       |FROM events GROUP BY event_type)""".stripMargin
 
+  /** e13_gap_fill — forward-fill repair of a sparsely-null series: the
+    * time-series imputation step between ingest and detection (the
+    * reference drops invalid rows, app3_ML.py:119-121; at pipeline
+    * scale you repair instead of drop). Rows whose JSON `k` prop ≤ 10
+    * model the sensor-dropout nulls; each takes the key's most recent
+    * valid reading (null if none yet).
+    *
+    * Scale: one per-key running window (same class as e3's rolling
+    * frame) — partition by key, sort within partition, no driver state.
+    * [sql-oracle] (`LAST_VALUE ... IGNORE NULLS` on the DuckDB side,
+    * `last(_, ignoreNulls)` here; pure passthrough values, no float
+    * arithmetic). */
+  def e13GapFill(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val w = Window.partitionBy("user_id").orderBy("secs", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("secs"),
+        when(k > 10, col("value")).as("v"))
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .withColumn("was_gap", col("v").isNull)
+      .orderBy("event_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "e13_gap_fill" ->
+      """WITH g AS (SELECT event_id, user_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS secs,
+        |  CASE WHEN CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) > 10
+        |       THEN value END AS v
+        |FROM events)
+        |SELECT event_id, user_id, secs, v,
+        | LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY secs, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+        | v IS NULL AS was_gap
+        |FROM g ORDER BY event_id""".stripMargin,
     "e1_json_parse" ->
       """SELECT event_id, CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS k, value
         |FROM events WHERE CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) > 50

@@ -130,15 +130,8 @@ object Sampling {
       .withColumn("ok",
         PortableHash.mdhash64(concat(col("doc_id").cast("string"), lit(":pack"))))
       .withColumn("rb", expr("ok >> 55"))
-    val totals = docs.groupBy("rb").agg(sum("n_tok").as("tot")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    // running offset of each bucket = sum of all earlier buckets' tokens
-    val offsets = totals.scanLeft((Long.MinValue, 0L)) {
-      case ((_, acc), (rb, tot)) => (rb, acc + tot)
-    }.sliding(2).map { case Array((_, prev), (rb, _)) => (rb, prev) }.toSeq
-    val bucketOffset = offsets.foldLeft(lit(0L)) {
-      case (acc, (rb, off)) => when(col("rb") === rb, lit(off)).otherwise(acc)
-    }
+    val bucketOffset = prefixOffsetCase(
+      docs.groupBy("rb").agg(sum("n_tok").as("tot")))
     val w = Window.partitionBy("rb").orderBy("ok", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
@@ -148,10 +141,61 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Phase-1→2 bridge of the distributed prefix sum shared by i4/i5:
+    * collect the per-hash-range-bucket totals (a driver-side KB at any
+    * corpus size — bucket count is fixed) and fold the running offsets
+    * into a codegen'd CASE on `rb`. */
+  private def prefixOffsetCase(byBucket: DataFrame): Column = {
+    val totals = byBucket.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (rb, tot)) => (rb, acc + tot)
+    }.sliding(2).map { case Array((_, prev), (rb, _)) => (rb, prev) }.toSeq
+    offsets.foldLeft(lit(0L)) {
+      case (acc, (rb, off)) => when(col("rb") === rb, lit(off)).otherwise(acc)
+    }
+  }
+
+  /** i5_global_shuffle — deterministic global corpus shuffle: every doc
+    * gets a stable position `pos` in the hash order (the reproducible
+    * "shuffle the corpus before packing" step pretraining wants; i4
+    * consumes exactly this order). Rerunning — on any engine, any
+    * partitioning — yields the same permutation.
+    *
+    * Scale: same two-phase distributed prefix sum as i4 — the 60-bit
+    * order hash is range-split by its top 5 bits into 32 monotone
+    * buckets, each bucket ranks locally under a per-bucket window, and
+    * the driver-stitched bucket counts become literal offsets; never a
+    * single-partition global window. (Spark's own orderBy is the same
+    * trick — range-sampled partitioning — but a window rank over it
+    * would still collapse to one partition.) [sql-oracle]. */
+  def i5GlobalShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .withColumn("ok", PortableHash.mdhash64(
+        concat(col("doc_id").cast("string"), lit(":shuffle"))))
+      .withColumn("rb", expr("ok >> 55"))
+    val bucketOffset = prefixOffsetCase(
+      docs.groupBy("rb").agg(count(lit(1)).cast("long").as("tot")))
+    val w = Window.partitionBy("rb").orderBy("ok", "doc_id")
+    docs
+      .withColumn("pos",
+        bucketOffset + row_number().over(w).cast("long") - lit(1L))
+      .select(col("doc_id"), col("pos"))
+      .orderBy("doc_id")
+  }
+
   private def duckWeight =
     "CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3 ELSE 1 END"
 
   val oracle: Map[String, String] = Map(
+    "i5_global_shuffle" ->
+      s"""SELECT doc_id,
+         |  ROW_NUMBER() OVER (ORDER BY
+         |    ${PortableHash.duckMdhash64("CAST(doc_id AS VARCHAR) || ':shuffle'")},
+         |    doc_id) - 1 AS pos
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "i1_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${PortableHash.duckBucket("doc_id", "i1", 1000000L)}

@@ -170,7 +170,86 @@ object TextOps {
   def t7VocabScrub(s: SparkSession, dir: String): DataFrame =
     vocabScrub(Tables.documents(s, dir))
 
+  /** Pattern-class redaction over any (doc_id, text) frame: replace
+    * every match of `pattern` with `replacement`, reporting match
+    * counts and the scrubbed-text digest. The PII-scrub shape of a
+    * training-data pipeline (emails/phones/URLs in real corpora); the
+    * pattern must stay in the Java∩RE2 common dialect (no lookarounds)
+    * so any engine scrubs identically.
+    *
+    * Scale: one narrow map, fully codegen'd (regexp_replace +
+    * regexp_count are native expressions) — no shuffle, no UDF, no
+    * state; parallel over scan partitions at any corpus size. */
+  def redactOver(docs: DataFrame, pattern: String,
+      replacement: String): DataFrame =
+    docs.select(col("doc_id"),
+        regexp_count(col("text"), lit(pattern)).cast("long").as("n_redacted"),
+        md5(regexp_replace(col("text"), pattern, replacement)).as("redact_md5"))
+      .orderBy("doc_id")
+
+  /** t8_redact — [[redactOver]] bound to the documents table. The
+    * synthetic corpus carries no real PII, so the binding scrubs a
+    * lexical term class that does occur (`customer`/`key`/`value` as
+    * whole words) — same expression shape as an email/phone scrub,
+    * with real nonzero redaction counts to verify. [sql-oracle]. */
+  def t8Redact(s: SparkSession, dir: String): DataFrame =
+    redactOver(Tables.documents(s, dir),
+      "\\b(customer|key|value)\\b", "<redacted>")
+
+  /** TF-IDF top-k terms per document over any (doc_id, text) frame,
+    * with the RATIONAL idf variant idf = N/df instead of ln(N/df):
+    * transcendental functions round differently across engines' libm
+    * (breaking hash-exact oracles), while tf·N/df is exact int64
+    * arithmetic plus one IEEE division — bit-identical everywhere, and
+    * per-document ranking is preserved for any monotone idf whenever
+    * term ranks agree (both idf forms are strictly decreasing in df).
+    *
+    * Scale: explode is a narrow map; tf is a map-side-combined hash agg
+    * on (doc, term); df aggregates the distinct projection to one row
+    * per vocabulary term — a dim-sized table broadcast back onto tf
+    * (no shuffle of the big side); top-k per doc is [[graft.plans.TopKPerGroup]]
+    * (≤ k rows per doc per partition reach the shuffle). */
+  def tfidfTopk(docs: DataFrame, k: Int = 5): DataFrame = {
+    val n = docs.count() // corpus size: one scalar aggregate
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
+    graft.plans.TopKPerGroup.perKey(scored.select(col("doc_id"), col("term"),
+        col("tf"), col("df"), col("score")),
+      Seq(col("doc_id")), Seq(col("score").desc, col("term")), k)
+      .orderBy("doc_id", "rank")
+  }
+
+  /** t9_tfidf_topk — [[tfidfTopk]] bound to the documents table.
+    * [sql-oracle]. */
+  def t9TfidfTopk(s: SparkSession, dir: String): DataFrame =
+    tfidfTopk(Tables.documents(s, dir))
+
   val oracle: Map[String, String] = Map(
+    "t8_redact" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\b(customer|key|value)\b')) AS BIGINT)
+        |   AS n_redacted,
+        | md5(regexp_replace(text, '\b(customer|key|value)\b', '<redacted>', 'g'))
+        |   AS redact_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t9_tfidf_topk" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term),
+        |dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |        CAST(tf.tf * n.n AS DOUBLE) / dfq.df AS score,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY CAST(tf.tf * n.n AS DOUBLE) / dfq.df DESC, tf.term)
+        |          AS INTEGER) AS rank
+        |      FROM tf JOIN dfq USING (term), n)
+        |SELECT doc_id, term, tf, df, score, rank FROM s WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
     "t4_fingerprint" ->
       """SELECT doc_id,
         | list_min(list_transform(range(greatest(length(text) - 7, 1)),
