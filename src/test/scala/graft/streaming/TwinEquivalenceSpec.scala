@@ -132,6 +132,38 @@ class TwinEquivalenceSpec extends SparkSpec {
       s"stream=${streamed.size} batch=${batch.size}")
   }
 
+  test("st9 streaming forward-fill == e13 batch oracle rows") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // the exact e13 input projection (null when the k prop <= 10),
+    // replayed per-key in event-time order across 4 micro-batches
+    val rows = graft.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"ts".cast("long").as("secs"),
+        when(get_json_object($"props", "$.k").cast("int") > 10, $"value")
+          .as("v"))
+      .orderBy("secs", "event_id").collect()
+      .map(r => GapRow(r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val in = MemoryStream[GapRow]
+    val q = ForwardFill.fill(in.toDS())
+      .writeStream.format("memory").queryName("twin_st9")
+      .outputMode(OutputMode.Append).start()
+    rows.grouped(rows.length / 4 + 1).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    val streamed = spark.table("twin_st9").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        opt(r, 3), opt(r, 4), r.getBoolean(5))).toSet
+    val batch = graft.operators.EventOps.e13GapFill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        opt(r, 3), opt(r, 4), r.getBoolean(5))).toSet
+    assert(batch.exists(_._6), "corpus must exercise the fill path")
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+  }
+
   test("fromKafka's downstream path: binary value frame -> parse (MemoryStream passthrough)") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
