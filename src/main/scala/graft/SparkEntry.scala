@@ -64,6 +64,8 @@ object SparkEntry {
     "i5_global_shuffle" -> (Sampling.i5GlobalShuffle _),
     "t8_redact" -> (TextOps.t8Redact _),
     "t9_tfidf_topk" -> (TextOps.t9TfidfTopk _),
+    "t10_repetition" -> (TextOps.t10Repetition _),
+    "d8_dedup_clusters" -> (Dedup.d8DedupClusters _),
     "e13_gap_fill" -> (EventOps.e13GapFill _),
     // rows-only ops (hash/ML-algorithm-defined; spec-tested, no SQL oracle)
     "d3_minhash_lsh" -> (DedupApprox.d3MinhashLsh _),

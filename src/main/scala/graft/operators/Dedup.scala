@@ -148,6 +148,56 @@ object Dedup {
   def d2DedupNgram(s: SparkSession, dir: String): DataFrame =
     ngramJaccard(Tables.spread(s, Tables.documents(s, dir)))
 
+  /** Connected components over an undirected (a, b) edge list by
+    * iterative min-label propagation: every vertex starts as its own
+    * label, each round takes the min over itself and its neighbors,
+    * and the loop stops when a round changes nothing — at which point
+    * every vertex carries the min id of its component. Rounds = the
+    * largest component diameter (near-dup clusters are near-cliques,
+    * so 1–3 in practice; the driver check per round is one count).
+    *
+    * Scale: each round is one equi-join labels⋈edges + one min-agg —
+    * all shuffles on vertex ids; per-round lineage is cut with
+    * localCheckpoint so plans stay flat. For graphs where diameter
+    * itself is the bottleneck (weblink-scale, not dedup-scale), the
+    * same loop slots in large-star/small-star (Kiveris 2014) — each
+    * round halves the diameter instead of shrinking it by one. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true) // reused every round — materialize once
+    var labels = sym.select(col("u").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= 64, "connectedComponents failed to converge")
+      val nbr = sym
+        .join(labels.select(col("v").as("u"), col("lbl").as("ul")), "u")
+        .groupBy("v").agg(min("ul").as("nl"))
+      val upd = labels.join(nbr, Seq("v"), "left")
+        .select(col("v"), col("lbl"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl2"))
+        .localCheckpoint(true)
+      changed = upd.filter(col("lbl2") < col("lbl")).count()
+      labels = upd.select(col("v"), col("lbl2").as("lbl"))
+    }
+    labels
+  }
+
+  /** d8_dedup_clusters — near-dup CLUSTERS from d2's pair list: the
+    * step that turns pairwise matches into dedup decisions (keep the
+    * min doc_id of each cluster, drop the rest — pairwise output alone
+    * can't make that call when A~B~C but A≁C). Emits (doc_id, cluster)
+    * for every doc in at least one near-dup pair; cluster = min doc_id
+    * of its component. [sql-oracle] (DuckDB: recursive-CTE reachability
+    * over the same pair list). */
+  def d8DedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(d2DedupNgram(s, dir).select("a", "b"))
+      .select(col("v").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy("doc_id")
+
   /** d6_contamination — train/test decontamination check: a 10%
     * hash-assigned test split is scanned for 8-word shingles that also
     * occur anywhere in the train split; per test doc, report how many of
@@ -208,6 +258,31 @@ object Dedup {
       |nrm AS (SELECT vec_id, SUM(x * x) AS n2 FROM ex GROUP BY vec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d8_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |        range(greatest(len(w) - 4, 1)),
+         |        i -> array_to_string(w[i + 1:i + 5], ' '))) AS sh FROM d),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |kept AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= $MaxShingleDf),
+         |p0 AS (SELECT e.doc_id, e.g FROM e JOIN kept USING (g)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM p0 GROUP BY doc_id),
+         |p AS (SELECT p0.doc_id, n_sh, g FROM p0 JOIN cnt USING (doc_id)),
+         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+         |         COUNT(*) AS common
+         |       FROM p x JOIN p y ON x.g = y.g AND x.doc_id < y.doc_id
+         |       GROUP BY 1, 2, 3, 4),
+         |pairs AS (SELECT a, b FROM pr
+         |          WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         |edges AS (SELECT a AS u, b AS v FROM pairs
+         |          UNION SELECT b, a FROM pairs),
+         |reach(u, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON reach.u = e2.v)
+         |SELECT u AS doc_id, MIN(r) AS cluster FROM reach
+         |GROUP BY u ORDER BY doc_id""".stripMargin,
     "d6_contamination" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
          |             ${PortableHash.duckBucket("doc_id", "contam", 10L)} = 0 AS is_test

@@ -228,7 +228,45 @@ object TextOps {
   def t9TfidfTopk(s: SparkSession, dir: String): DataFrame =
     tfidfTopk(Tables.documents(s, dir))
 
+  /** Intra-document repetition metrics over any (doc_id, text) frame —
+    * the Gopher-style repetition quality rule (Rae 2021 §A1.1): a doc
+    * whose top term dominates (high `top_ratio`) or whose vocabulary
+    * collapses (low `distinct_ratio`) is boilerplate/spam-shaped and
+    * gets filtered before training.
+    *
+    * Scale: explode → two map-side-combined hash aggs keyed by
+    * (doc, term) then doc — shuffle volume is per-doc distinct terms,
+    * and ratios are exact int64-over-int64 IEEE divisions (oracle-safe,
+    * no rounding needed). */
+  def repetitionOver(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id").agg(
+        sum("tf").as("n_words"),
+        max("tf").as("max_tf"),
+        count(lit(1)).as("n_distinct"))
+      .withColumn("top_ratio", col("max_tf") * lit(1.0) / col("n_words"))
+      .withColumn("distinct_ratio",
+        col("n_distinct") * lit(1.0) / col("n_words"))
+      .orderBy("doc_id")
+
+  /** t10_repetition — [[repetitionOver]] bound to the documents table.
+    * [sql-oracle]. */
+  def t10Repetition(s: SparkSession, dir: String): DataFrame =
+    repetitionOver(Tables.documents(s, dir))
+
   val oracle: Map[String, String] = Map(
+    "t10_repetition" ->
+      """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) GROUP BY doc_id, term)
+        |SELECT doc_id,
+        | CAST(SUM(tf) AS BIGINT) AS n_words,
+        | CAST(MAX(tf) AS BIGINT) AS max_tf,
+        | COUNT(*) AS n_distinct,
+        | CAST(MAX(tf) AS BIGINT) * 1.0 / CAST(SUM(tf) AS BIGINT) AS top_ratio,
+        | COUNT(*) * 1.0 / CAST(SUM(tf) AS BIGINT) AS distinct_ratio
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t8_redact" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\b(customer|key|value)\b')) AS BIGINT)

@@ -65,6 +65,48 @@ class Round3OpsSpec extends SparkSpec {
     assert(gaps > 0, "corpus must exercise the fill path")
   }
 
+  test("d8 connected components match a driver-side union-find") {
+    import spark.implicits._
+    // crafted graph: chain 1-2-3, pair 10-11, triangle 20-21-22 with a
+    // tail 23, isolated-by-absence 99 (no edge -> no row)
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (20L, 22L), (22L, 23L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // corpus binding agrees with an exact union-find over d2's pairs
+    val pairs = Dedup.d2DedupNgram(spark, sf).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(v => v -> find(v)).toMap
+    val clusters = Dedup.d8DedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == expected)
+  }
+
+  test("t10_repetition ratios are exact and bounded") {
+    val out = TextOps.t10Repetition(spark, sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (n, maxTf, nd) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(maxTf >= 1 && maxTf <= n && nd <= n)
+      assert(r.getDouble(4) == maxTf.toDouble / n)
+      assert(r.getDouble(5) == nd.toDouble / n)
+    }
+    // the 31-word synthetic vocabulary forces heavy repetition in long docs
+    assert(out.exists(_.getDouble(5) < 0.5))
+  }
+
   test("i5_global_shuffle is a stable permutation matching the hash order") {
     val out = Sampling.i5GlobalShuffle(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
