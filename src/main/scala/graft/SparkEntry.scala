@@ -68,6 +68,9 @@ object SparkEntry {
     "d8_dedup_clusters" -> (Dedup.d8DedupClusters _),
     "e13_gap_fill" -> (EventOps.e13GapFill _),
     // rows-only ops (hash/ML-algorithm-defined; spec-tested, no SQL oracle)
+    "q11_approx_distinct" -> (Analytics.q11ApproxDistinct _),
+    "e14_approx_quantile" -> (Analytics.e14ApproxQuantile _),
+    "t11_heavy_hitters" -> (TextOps.t11HeavyHitters _),
     "d3_minhash_lsh" -> (DedupApprox.d3MinhashLsh _),
     "s2_ann_lsh" -> (Similarity.s2AnnLsh _),
     "t1_langid" -> (TextOps.t1Langid _),

@@ -112,6 +112,22 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
+  /** q11_approx_distinct — q5's distinct counts via HyperLogLog++
+    * (`approx_count_distinct`, rsd 0.02): the 100 TB form of exact
+    * countDistinct. Exact distinct shuffle-expands every (group, key)
+    * pair before collapsing; HLL ships one ~KB sketch per group per
+    * partition and merges — the shuffle is O(groups × partitions),
+    * independent of key cardinality. [rows-only]: sketch estimates are
+    * engine-specific; the spec bounds the relative error against q5's
+    * DuckDB-oracled exact twin (≤ 3×rsd). */
+  def q11ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(approx_count_distinct(col("o_custkey"), rsd = 0.02).as("n_cust_est"),
+        count(lit(1)).as("n_ord"))
+      .orderBy("o_orderstatus")
+  }
+
   /** q6_conditional_agg — CASE-WHEN pivot-style aggregates (single scan,
     * no shuffle per pivot column). */
   def q6ConditionalAgg(s: SparkSession, dir: String): DataFrame = {
@@ -161,6 +177,27 @@ object Analytics {
         round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
         round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
         round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** e14_approx_quantile — q9's percentiles via the mergeable
+    * Greenwald-Khanna summary (`approx_percentile`, accuracy 10000):
+    * the 100 TB form of exact percentile. Exact percentile buffers
+    * every group value; the GK summary is O(accuracy) per group per
+    * partition and merges associatively — rank error ≤ n/accuracy
+    * guaranteed. [rows-only]: summary contents are engine- and
+    * merge-order-specific; the spec asserts each estimate sits within
+    * the exact twin's ±1% rank neighborhood. */
+  def e14ApproxQuantile(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)")
+          .cast("double").as("med_qty"),
+        expr("approx_percentile(l_extendedprice, 0.9, 10000)")
+          .cast("double").as("p90_price"),
+        expr("approx_percentile(l_extendedprice, 0.99, 10000)")
+          .cast("double").as("p99_price"))
       .orderBy("l_returnflag")
   }
 

@@ -67,15 +67,53 @@ object TextOps {
     * count is one map-side-combined hash agg; top-100 is a single
     * all-to-one heap (k bounded) — at 100 TB the agg output (distinct
     * bigrams) is the only thing that shuffles. */
+  /** All word bigrams of a (…, text) frame, one row each. */
+  private def bigramsOf(docs: DataFrame): DataFrame =
+    docs.select(explode(expr(
+      "transform(sequence(0, greatest(size(split(text, ' ')) - 2, 0)), " +
+        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))")).as("bigram"))
+
   def t6NgramCounts(s: SparkSession, dir: String): DataFrame = {
-    Tables.spread(s, Tables.documents(s, dir))
-      .select(explode(expr(
-        "transform(sequence(0, greatest(size(split(text, ' ')) - 2, 0)), " +
-          "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))")).as("bigram"))
+    bigramsOf(Tables.spread(s, Tables.documents(s, dir)))
       .groupBy("bigram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(100)
+  }
+
+  /** t11_heavy_hitters — t6's top-100 bigrams at sketch cost: the
+    * 100 TB form of an exact frequency table. Exact top-k must
+    * aggregate the full (distinct-bigram-cardinality) key space; here
+    * candidate bigrams come from an exact count over a deterministic
+    * 20% hash sample (Sampling.uniform — reproducible, no rand()), and
+    * each candidate's full-corpus count is read from a Count-Min
+    * sketch (Cormode & Muthukrishnan 2005; `df.stat.countMinSketch`,
+    * ε=1e-5, δ=0.01, fixed seed) built in one distributed pass —
+    * per-partition sketches merge by counter addition, so the shuffle
+    * is one ~1.6 MB array per partition, independent of vocabulary
+    * size. CMS never under-counts and over-counts by ≤ εN with
+    * probability 1−δ. [rows-only]: sketch estimates are
+    * engine-specific; the spec bounds them against the DuckDB-oracled
+    * exact t6 by MASS recall ≥ 0.9 (on a tie-heavy flat distribution —
+    * the synthetic corpus's rank-100 and rank-300 bigrams differ by ~5
+    * counts — exact top-k SET recovery from any sample is impossible;
+    * the mass metric is what heavy-hitter guarantees actually bound)
+    * plus the per-item CMS bound exact ≤ est ≤ exact + εN. */
+  def t11HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val cms = bigramsOf(docs).stat.countMinSketch(
+      col("bigram"), eps = 0.00001, confidence = 0.99, seed = 42)
+    val candidates = bigramsOf(
+        Sampling.uniform(docs, col("doc_id"), 0.2, salt = 11L))
+      .groupBy("bigram").agg(count(lit(1)).as("n_sample"))
+      .orderBy(col("n_sample").desc, col("bigram"))
+      .limit(600)
+      .collect().map(_.getString(0))
+    candidates.map(b => (b, cms.estimateCount(b)))
+      .sortBy { case (b, n) => (-n, b) }
+      .take(100)
+      .toSeq.toDF("bigram", "n_est")
   }
 
   /** Per-language marker-word profiles (tiny embedded stopword lists —

@@ -107,6 +107,66 @@ class Round3OpsSpec extends SparkSpec {
     assert(out.exists(_.getDouble(5) < 0.5))
   }
 
+  test("q11 HLL distinct counts within 3x rsd of the exact q5 twin") {
+    val exact = Analytics.q5DistinctAgg(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Analytics.q11ApproxDistinct(spark, sf).collect()
+    assert(est.length == exact.size)
+    est.foreach { r =>
+      val e = exact(r.getString(0))
+      val rel = math.abs(r.getLong(1) - e).toDouble / e
+      assert(rel <= 0.06, s"${r.getString(0)}: est ${r.getLong(1)} vs $e")
+    }
+  }
+
+  test("e14 approx percentiles sit inside the exact +-1% rank neighborhood") {
+    val bounds = graft.Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.49)").as("m_lo"),
+        expr("percentile(l_quantity, 0.51)").as("m_hi"),
+        expr("percentile(l_extendedprice, 0.89)").as("a_lo"),
+        expr("percentile(l_extendedprice, 0.91)").as("a_hi"),
+        expr("percentile(l_extendedprice, 0.98)").as("b_lo"),
+        expr("percentile(l_extendedprice, 1.0)").as("b_hi"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val est = Analytics.e14ApproxQuantile(spark, sf).collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val x = bounds(r.getString(0))
+      assert(r.getDouble(1) >= x.getDouble(1) && r.getDouble(1) <= x.getDouble(2))
+      assert(r.getDouble(2) >= x.getDouble(3) && r.getDouble(2) <= x.getDouble(4))
+      assert(r.getDouble(3) >= x.getDouble(5) && r.getDouble(3) <= x.getDouble(6))
+    }
+  }
+
+  test("t11 CMS heavy hitters: mass recall >= 0.9 vs exact t6, never undercounts") {
+    import spark.implicits._
+    // full exact frequency table (spec-side ground truth, all bigrams)
+    val exactAll = graft.Tables.documents(spark, sf)
+      .select(explode(expr(
+        "transform(sequence(0, greatest(size(split(text, ' ')) - 2, 0)), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))")).as("bg"))
+      .groupBy("bg").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val top100 = TextOps.t6NgramCounts(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val est = TextOps.t11HeavyHitters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(est.length == 100)
+    // the corpus distribution is nearly flat at the rank-100 cut (ties),
+    // so the right guarantee is MASS recall: the est picks carry >= 90%
+    // of the true top-100's total frequency mass
+    val estMass = est.map { case (b, _) => exactAll(b) }.sum.toDouble
+    val trueMass = top100.map(_._2).sum.toDouble
+    assert(estMass / trueMass >= 0.9, s"mass recall ${estMass / trueMass}")
+    // CMS bound per pick: never undercounts, overcounts by <= eps*N
+    val totalBigrams = exactAll.values.sum
+    val slack = (0.00001 * totalBigrams).toLong + 1
+    est.foreach { case (b, e) =>
+      val n = exactAll(b)
+      assert(e >= n && e <= n + slack, s"$b: est $e exact $n")
+    }
+  }
+
   test("i5_global_shuffle is a stable permutation matching the hash order") {
     val out = Sampling.i5GlobalShuffle(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
