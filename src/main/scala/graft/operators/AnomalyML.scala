@@ -22,6 +22,10 @@ case class CusumAlarm(event_id: Long, key: String, value: Double,
 case class EwmaRow(event_id: Long, user_id: Long, value: Double,
     ewma: Double, resid: Double)
 
+/** Generic-key EWMA output row ([[AnomalyML.ewmaChunked]]). */
+case class EwmaKeyRow(event_id: Long, key: String, value: Double,
+    ewma: Double, resid: Double)
+
 /** ML anomaly operators (SURVEY.md §2.C) — the reference's Isolation
   * Forest surface (app3_ML.py:143-182) rebuilt for Spark's execution
   * model: bounded deterministic per-entity sample → driver fit →
@@ -355,6 +359,74 @@ object AnomalyML {
   def a4CusumDrift(s: SparkSession, dir: String): DataFrame =
     cusumChunked(Tables.events(s, dir), col("event_type"), col("event_id"),
       col("ts"), col("value"))
+
+  /** Chunk-parallel EWMA for LOW-CARDINALITY keys, exact via
+    * OVERLAPPED WARM-UP: a2's repartition-on-key form serializes each
+    * key into one task, which is right when keys are plentiful
+    * (user_id) and a bottleneck when they aren't (plant_type ~ 4 at a
+    * trillion rows). Unlike CUSUM (reset-on-alarm → fixpoint stitch,
+    * [[cusumChunked]]), EWMA forgets its start EXPONENTIALLY:
+    * (1−α)^n < 1 double ulp for n ≥ ~150 at α = 0.3, and once two
+    * floating-point runs of the same recurrence over the same inputs
+    * agree to within an ulp they coincide bitwise from then on. So
+    * each (key, time-chunk) task simply also scans the PREVIOUS chunk
+    * as warm-up (seeded as if it started the key), discards the
+    * warm-up emissions, and emits its own chunk bit-identically to the
+    * sequential scan — one embarrassingly parallel pass, no driver
+    * stitch, no fixpoint, at 2× compute. Parallelism = keys × chunks.
+    *
+    * Contract: every (key, chunk) cell must hold ≥ the forgetting
+    * horizon ln(ulp)/ln(1−α) ≈ 150 rows (α = 0.3) — size `chunks`
+    * accordingly (rows / keys / 150 is the upper bound). The spec
+    * asserts bit-equality with the sequential twin at 500-row cells. */
+  def ewmaChunked(df: DataFrame, keyCol: Column, idCol: Column, tsCol: Column,
+      valCol: Column, alpha: Double = 0.3, chunks: Int = 16): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val base0 = df.select(keyCol.cast("string").as("key"), idCol.as("event_id"),
+      tsCol.cast("long").as("secs"), valCol.cast("double").as("value"))
+    val Row(minS: Long, maxS: Long) =
+      base0.agg(min("secs"), max("secs")).collect()(0)
+    val span = math.max(1L, maxS - minS + 1)
+    val chunkOf = ((col("secs") - lit(minS)) * lit(chunks.toLong) / lit(span))
+      .cast("int")
+    // every row lands in its own cell; rows also replicate into the
+    // NEXT chunk's cell as warm-up (emit = false)
+    val own = base0.withColumn("chunk", chunkOf).withColumn("emit", lit(true))
+    val warm = base0.withColumn("chunk", chunkOf + lit(1))
+      .filter(col("chunk") < chunks).withColumn("emit", lit(false))
+    val out = own.unionAll(warm)
+      .repartition(col("key"), col("chunk"))
+      .sortWithinPartitions("key", "chunk", "secs", "event_id")
+      .as[(String, Long, Long, Double, Int, Boolean)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[Iterator[EwmaKeyRow]] {
+          def hasNext = buf.hasNext
+          def next() = {
+            val (k, c) = (buf.head._1, buf.head._5)
+            var seeded = false
+            var ew = 0.0
+            new Iterator[EwmaKeyRow] {
+              def hasNext = buf.hasNext && buf.head._1 == k && buf.head._5 == c
+              def next() = {
+                val r = buf.next()
+                if (!seeded) { seeded = true; ew = r._4 }
+                val resid = r._4 - ew
+                ew = alpha * r._4 + (1 - alpha) * ew
+                if (r._6)
+                  EwmaKeyRow(r._2, r._1, r._4,
+                    math.rint(ew * 1e6) / 1e6, math.rint(resid * 1e6) / 1e6)
+                else null // warm-up row: state only, no emission
+              }
+            }.filter(_ != null)
+          }
+        }.flatten
+      }
+      .toDF()
+      .orderBy("event_id")
+    out
+  }
 
   /** a2_ewma — EWMA smoothing (α=0.3) + residuals per user; the batch
     * twin of st3's streaming state.
