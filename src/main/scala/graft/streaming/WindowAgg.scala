@@ -28,6 +28,24 @@ object WindowAgg {
       .groupBy(window(col(tsCol), window_) +: keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
 
+  /** st10_window_distinct — watermarked tumbling-window APPROX distinct
+    * counts (HyperLogLog++, rsd 0.02): "how many distinct devices
+    * reported this window" at 100 TB stream rates. Exact streaming
+    * countDistinct would hold every key seen per open window in the
+    * state store; the HLL sketch caps state at ~KB per (key, window)
+    * regardless of arrival cardinality, and merges associatively
+    * across micro-batches. TwinEquivalenceSpec bounds the completed
+    * stream's estimates against the exact batch counts (≤ 3×rsd). */
+  def tumblingDistinct(parsed: DataFrame, tsCol: String, keyCol: String,
+      distinctCol: String, watermark: String,
+      window_ : String): DataFrame =
+    tumbling(parsed, tsCol, Seq(keyCol), Seq(
+        approx_count_distinct(col(distinctCol), rsd = 0.02).as("n_uniq_est"),
+        count(lit(1)).as("n")),
+      watermark, window_)
+      .select(col("window.start").as("w_start"), col(keyCol),
+        col("n_uniq_est"), col("n"))
+
   /** 1-minute tumbling stats per plant_type; late data beyond
     * `watermark` is dropped (reference semantics: a batch that arrives
     * after the window closed never re-opens it). */

@@ -132,6 +132,41 @@ class TwinEquivalenceSpec extends SparkSpec {
       s"stream=${streamed.size} batch=${batch.size}")
   }
 
+  test("st10 windowed HLL distinct over a replayed stream within 3x rsd of exact batch") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf)
+      .select($"ts", $"event_type", $"user_id")
+      .orderBy("ts").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val parsed = in.toDF().toDF("ts", "event_type", "user_id")
+    val q = WindowAgg.tumblingDistinct(parsed, "ts", "event_type", "user_id",
+        watermark = "2 hours", window_ = "1 hour")
+      .writeStream.format("memory").queryName("twin_st10")
+      .outputMode(OutputMode.Append).start()
+    ev.grouped(ev.length / 4 + 1).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    in.addData((new Timestamp(ev.last._1.getTime + 12L * 3600 * 1000),
+      "__flush", 0L))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("twin_st10")
+      .filter($"event_type" =!= "__flush").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = graft.Tables.events(spark, sf)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .select($"window.start", $"event_type", $"n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(exact.nonEmpty && streamed.keySet == exact.keySet,
+      s"windows: stream ${streamed.size} vs exact ${exact.size}")
+    streamed.foreach { case (k, est) =>
+      val e = exact(k)
+      assert(math.abs(est - e).toDouble / e <= 0.06, s"$k: est $est exact $e")
+    }
+  }
+
   test("st9 streaming forward-fill == e13 batch oracle rows") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
