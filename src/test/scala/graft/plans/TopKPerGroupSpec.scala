@@ -68,4 +68,34 @@ class TopKPerGroupSpec extends SparkSpec {
       .groupBy("event_type").agg(max("value").as("v")).collect()
     assert(out.nonEmpty)
   }
+
+  test("randomized differential: equals window-rank on tie-heavy skewed frames") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 6) {
+      val nGroups = 1 + rnd.nextInt(40)
+      val k = 1 + rnd.nextInt(8)
+      val n = 500 + rnd.nextInt(2000)
+      // skewed group sizes (zipf-ish via squaring) + tiny value range
+      // to force heavy ties; id is the unique tie-break
+      val rows = (0 until n).map { i =>
+        val g = (math.pow(rnd.nextDouble(), 2) * nGroups).toInt
+        (s"g$g", i.toLong, rnd.nextInt(5).toDouble, rnd.nextInt(3))
+      }
+      val df = rows.toDF("g", "id", "v", "u")
+      // mixed-direction, multi-column order with a computed expression
+      val order = Seq(col("v").desc, (col("u") + col("id") % 7).asc, col("id"))
+      val got = TopKPerGroup.perKey(df, Seq(col("g")), order, k)
+        .select("g", "id", "rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val w = Window.partitionBy("g").orderBy(order: _*)
+      val want = df.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("g", "id", "rank").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want,
+        s"trial $trial (groups=$nGroups k=$k n=$n): " +
+          s"${(got -- want).size} extra, ${(want -- got).size} missing")
+    }
+  }
 }
