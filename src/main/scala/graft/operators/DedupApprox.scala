@@ -1,7 +1,6 @@
 package graft.operators
 
 import scala.util.Random
-import scala.util.hashing.MurmurHash3
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,10 +17,11 @@ case class DocSig(doc_id: Long, sig: Array[Long])
   * rounding algorithms", STOC 2002)) — the 100 TB-scale path: candidate
   * generation via banding/bucketing so join cost tracks collisions,
   * never n².
-  * Deterministic throughout: d3 (fixed-seed permutations) is
-  * [rows-only], verified against exact Jaccard in ScalaTest; d4 runs on
-  * the portable md5-prefix hash and is DuckDB-oracle-checked
-  * [sql-oracle].
+  * Deterministic throughout, and both run on the portable md5-prefix
+  * hash so both are DuckDB-oracle-checked [sql-oracle]: d3's
+  * permutation constants are embedded verbatim in the oracle SQL and
+  * its banding is stated as exact 5-tuple equality; recall against
+  * exact Jaccard is additionally spec-verified in ScalaTest.
   */
 object DedupApprox {
 
@@ -41,8 +41,14 @@ object DedupApprox {
     else Array.tabulate(w.length - k + 1)(i => w.slice(i, i + k).mkString(" ")).distinct
   }
 
+  /** Signature on the PORTABLE shingle hash (md5-prefix & 0x7fffffff —
+    * [[mdhash64Str]] ≡ DuckDB `('0x'||substr(md5(g),1,15))::BIGINT`),
+    * so the whole MinHash pipeline is recomputable by any engine: the
+    * permutations are (a·h + b) mod P over literal (a, b) constants
+    * that [[oracle]] embeds verbatim in the DuckDB SQL. a < P < 2³¹ and
+    * h < 2³¹ keep a·h inside int64 on every engine. */
   private[graft] def minhashSig(text: String): Array[Long] = {
-    val hs = shingles(text).map(s => (MurmurHash3.stringHash(s, 42) & 0x7fffffffL))
+    val hs = shingles(text).map(s => mdhash64Str(s) & 0x7fffffffL)
     perms.map { case (a, b) =>
       var mn = Long.MaxValue
       var i = 0
@@ -72,9 +78,15 @@ object DedupApprox {
       .as[(Long, String)]
       .map { case (id, t) => DocSig(id, minhashSig(t)) }
       .cache()
+    // band key = the EXACT 5-value tuple (not a hash of it): two docs
+    // bucket together iff the band's signature rows are identical, the
+    // semantics the DuckDB oracle states directly — no collision caveat.
+    // (At corpus scales where the extra shuffle bytes matter, hash the
+    // tuple; candidates only gain false positives the est_jac filter
+    // already removes.)
     val buckets = sigs.flatMap { d =>
       (0 until Bands).map { b =>
-        val bh = MurmurHash3.arrayHash(d.sig.slice(b * RowsPerBand, (b + 1) * RowsPerBand), 7)
+        val bh = d.sig.slice(b * RowsPerBand, (b + 1) * RowsPerBand).mkString(",")
         (d.doc_id, b, bh)
       }
     }.toDF("doc_id", "band", "bh")
@@ -170,6 +182,31 @@ object DedupApprox {
   }
 
   val oracle: Map[String, String] = Map(
+    "d3_minhash_lsh" -> {
+      val permRows = perms.zipWithIndex
+        .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+        .mkString(", ")
+      s"""WITH pm(i, a, b) AS (VALUES $permRows),
+         |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |         range(greatest(len(w) - 4, 1)),
+         |         i -> array_to_string(w[i + 1:i + 5], ' ')))) AS g FROM d),
+         |hs AS (SELECT doc_id,
+         |         (('0x' || substr(md5(g), 1, 15))::BIGINT & 2147483647) AS h
+         |       FROM sh),
+         |sig AS (SELECT doc_id, pm.i AS perm,
+         |          MIN((pm.a * h + pm.b) % 2147483647) AS mh
+         |        FROM hs, pm GROUP BY doc_id, pm.i),
+         |m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.perm
+         |      FROM sig x JOIN sig y
+         |        ON x.perm = y.perm AND x.mh = y.mh AND x.doc_id < y.doc_id),
+         |cand AS (SELECT DISTINCT a, b FROM m
+         |         GROUP BY a, b, perm // 5 HAVING COUNT(*) = 5),
+         |est AS (SELECT m.a, m.b, COUNT(*) / 100.0 AS ej
+         |        FROM m JOIN cand USING (a, b) GROUP BY m.a, m.b)
+         |SELECT a, b, ROUND(ej, 6) AS est_jac FROM est
+         |WHERE ej >= 0.5 ORDER BY a, b""".stripMargin
+    },
     "d4_simhash" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |wh AS (SELECT doc_id, list_transform(w,
