@@ -128,7 +128,8 @@ object TextOps {
 
   /** t1_langid — marker-profile language ID: score = marker hits per
     * language, predict argmax (ties break to the lexicographically last
-    * language — deterministic). [rows-only]: heuristic-defined. */
+    * language — deterministic). [sql-oracle]: pure counting + argmax,
+    * so the DuckDB twin states it as an unpivot + rank-1 window. */
   def t1Langid(s: SparkSession, dir: String): DataFrame =
     langidOver(Tables.documents(s, dir))
 
@@ -294,6 +295,23 @@ object TextOps {
     repetitionOver(Tables.documents(s, dir))
 
   val oracle: Map[String, String] = Map(
+    "t1_langid" -> {
+      // one scored row per (doc, lang), embedded marker lists verbatim;
+      // argmax with the same tie-break as greatest(struct(sc, lang)):
+      // highest score, then lexicographically LAST language
+      val scoreRows = langMarkers.map { case (lang, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(", ")
+        s"SELECT doc_id, '$lang' AS lang, len(list_filter(w, x -> x IN ($inList))) AS sc FROM s"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sc AS (
+         |  $scoreRows),
+         |r AS (SELECT doc_id, lang, sc,
+         |        ROW_NUMBER() OVER (PARTITION BY doc_id
+         |          ORDER BY sc DESC, lang DESC) AS rn FROM sc)
+         |SELECT doc_id, lang AS pred_lang, CAST(sc AS INTEGER) AS best_score
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
     "t10_repetition" ->
       """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
