@@ -67,6 +67,21 @@ object Ingest {
       .option("startingOffsets", startingOffsets)
       .load())
 
+  /** The producer half of the reference loop (producer/producer-3.py:
+    * 113-130: serialize, send to `energy_stream`): write a `value`
+    * frame (e.g. [[Pipeline.toKafkaValue]] output) to a Kafka topic.
+    * COMPILE-LEVEL ONLY in this container, exactly like [[fromKafka]]
+    * (no connector jar, no egress); on a real cluster this is the
+    * standard Kafka sink with at-least-once checkpointing — pair it
+    * with [[StreamDedup]] on the consumer for effectively-once. */
+  def toKafka(valueFrame: DataFrame, bootstrap: String, topic: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    valueFrame.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Parse `value` JSON → typed columns, convert the ISO timestamp, and
     * enforce the reference's validation: shared fields present and
     * numeric (malformed rows → dropped, mirroring dropna). The sparse
