@@ -152,16 +152,17 @@ object Dedup {
     * iterative min-label propagation: every vertex starts as its own
     * label, each round takes the min over itself and its neighbors,
     * and the loop stops when a round changes nothing — at which point
-    * every vertex carries the min id of its component. Rounds = the
-    * largest component diameter (near-dup clusters are near-cliques,
-    * so 1–3 in practice; the driver check per round is one count).
+    * every vertex carries the min id of its component. Each round also
+    * POINTER-JUMPS (lbl ← lbl(lbl), the shortcutting of Shiloach &
+    * Vishkin 1982), so the min label travels exponentially: O(log
+    * diameter) rounds instead of O(diameter) — a 10⁶-doc duplicate
+    * CHAIN (templated pages) converges in ~20 rounds, not 10⁶.
+    * Near-dup clusters are near-cliques in practice: 1–3 rounds.
     *
-    * Scale: each round is one equi-join labels⋈edges + one min-agg —
-    * all shuffles on vertex ids; per-round lineage is cut with
-    * localCheckpoint so plans stay flat. For graphs where diameter
-    * itself is the bottleneck (weblink-scale, not dedup-scale), the
-    * same loop slots in large-star/small-star (Kiveris 2014) — each
-    * round halves the diameter instead of shrinking it by one. */
+    * Scale: each round is two equi-joins (labels⋈edges min-agg +
+    * labels⋈labels jump) — all shuffles on vertex ids; per-round
+    * lineage is cut with localCheckpoint so plans stay flat; the
+    * convergence check is one count per round. */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
@@ -181,7 +182,16 @@ object Dedup {
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl2"))
         .localCheckpoint(true)
       changed = upd.filter(col("lbl2") < col("lbl")).count()
-      labels = upd.select(col("v"), col("lbl2").as("lbl"))
+      val next = upd.select(col("v"), col("lbl2").as("lbl"))
+      // pointer jump: lbl ← lbl(lbl). Labels are vertex ids and only
+      // ever decrease, so the jump is monotone and needs no change
+      // tracking — the neighbor-min fixpoint test above stays sound
+      // (at its fixpoint labels are already component-constant).
+      val jump = next.select(col("v").as("jv"), col("lbl").as("jl"))
+      labels = next.join(jump, next("lbl") === jump("jv"), "left")
+        .select(next("v"),
+          least(next("lbl"), coalesce(col("jl"), next("lbl"))).as("lbl"))
+        .localCheckpoint(true)
     }
     labels
   }

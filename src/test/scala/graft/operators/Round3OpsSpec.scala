@@ -94,6 +94,18 @@ class Round3OpsSpec extends SparkSpec {
     assert(clusters == expected)
   }
 
+  test("connected components converge on a 300-vertex chain (pointer jumping)") {
+    import spark.implicits._
+    // a duplicate CHAIN (each doc near-dups only its neighbor) is the
+    // diameter worst case: O(d) label propagation needs 299 rounds and
+    // trips the convergence guard; pointer jumping needs ~log2(300)
+    val edges = (0L until 299L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 300)
+    assert(got.forall(_._2 == 0L), "every chain vertex joins component 0")
+  }
+
   test("t10_repetition ratios are exact and bounded") {
     val out = TextOps.t10Repetition(spark, sf).collect()
     assert(out.length == 500)
