@@ -245,16 +245,20 @@ object TextOps {
     *
     * Scale: explode is a narrow map; tf is a map-side-combined hash agg
     * on (doc, term); df aggregates the distinct projection to one row
-    * per vocabulary term — a dim-sized table broadcast back onto tf
-    * (no shuffle of the big side); top-k per doc is [[graft.plans.TopKPerGroup]]
-    * (≤ k rows per doc per partition reach the shuffle). */
+    * per vocabulary term. The tf⋈df join is left unhinted: AQE
+    * broadcasts the df side when the vocabulary fits (the common case)
+    * and falls back to a shuffle join on the term key when it doesn't
+    * (web-scale vocabularies run to billions of terms — a forced
+    * broadcast would OOM the driver). Top-k per doc is
+    * [[graft.plans.TopKPerGroup]] (≤ k rows per doc per partition
+    * reach the shuffle). */
   def tfidfTopk(docs: DataFrame, k: Int = 5): DataFrame = {
     val n = docs.count() // corpus size: one scalar aggregate
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "term")
+    val scored = tf.join(dfreq, "term")
       .withColumn("score", (col("tf") * lit(n)).cast("double") / col("df"))
     graft.plans.TopKPerGroup.perKey(scored.select(col("doc_id"), col("term"),
         col("tf"), col("df"), col("score")),
