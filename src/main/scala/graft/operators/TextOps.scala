@@ -18,7 +18,14 @@ object TextOps {
   private val stopwords = Seq("the", "a", "of", "to", "and")
 
   /** Length / stopword-ratio quality scoring over any
-    * (doc_id, text, n_chars) frame. */
+    * (doc_id, text, n_chars) frame. `quality` =
+    * (1 − stop_ratio)·avg_word_len, but computed as the algebraically
+    * equal (n_words − n_stop)·(n_chars − n_words + 1) / n_words² —
+    * exact int64 numerator and denominator with ONE IEEE division, so
+    * the double is bit-identical on every engine. (The two-division
+    * product form needed a 6-dp round, and at sf0.1 one row landed
+    * within an ulp of a .5 rounding boundary where Spark and DuckDB
+    * round apart — single-division ratios need no rounding at all.) */
   def qualityOver(docs: DataFrame): DataFrame = {
     docs
       .withColumn("words", split(col("text"), " "))
@@ -28,7 +35,9 @@ object TextOps {
       .withColumn("avg_word_len",
         (col("n_chars") - (col("n_words") - 1)) * lit(1.0) / col("n_words"))
       .withColumn("stop_ratio", col("n_stop") * lit(1.0) / col("n_words"))
-      .withColumn("quality", round((lit(1.0) - col("stop_ratio")) * col("avg_word_len"), 6))
+      .withColumn("quality",
+        (col("n_words") - col("n_stop")) * (col("n_chars") - col("n_words") + 1) * lit(1.0)
+          / (col("n_words") * col("n_words")))
       .select(col("doc_id"), col("n_words"), col("n_stop"),
         col("avg_word_len"), col("stop_ratio"), col("quality"))
       .orderBy("doc_id")
@@ -380,11 +389,10 @@ object TextOps {
         | len(list_filter(string_split(text, ' '),
         |     w -> w IN ('the','a','of','to','and'))) * 1.0
         |   / len(string_split(text, ' ')) AS stop_ratio,
-        | ROUND((1.0 - len(list_filter(string_split(text, ' '),
-        |            w -> w IN ('the','a','of','to','and'))) * 1.0
-        |          / len(string_split(text, ' ')))
-        |       * ((n_chars - (len(string_split(text, ' ')) - 1)) * 1.0
-        |          / len(string_split(text, ' '))), 6) AS quality
+        | (len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '),
+        |       w -> w IN ('the','a','of','to','and'))))
+        |   * (n_chars - len(string_split(text, ' ')) + 1) * 1.0
+        |   / (len(string_split(text, ' ')) * len(string_split(text, ' '))) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t3_tokens" ->
       """SELECT doc_id,
