@@ -67,6 +67,11 @@ object SparkEntry {
     "t10_repetition" -> (TextOps.t10Repetition _),
     "d8_dedup_clusters" -> (Dedup.d8DedupClusters _),
     "e13_gap_fill" -> (EventOps.e13GapFill _),
+    "e15_interpolate" -> (EventOps.e15Interpolate _),
+    "a5_mahalanobis" -> (AnomalyML.a5Mahalanobis _),
+    "s5_filtered_ann" -> (Similarity.s5FilteredAnn _),
+    "i6_take_per_group" -> (Sampling.i6TakePerGroup _),
+    "q12_grouping_sets" -> (Analytics.q12GroupingSets _),
     // rows-only ops (hash/ML-algorithm-defined; spec-tested, no SQL oracle)
     "q11_approx_distinct" -> (Analytics.q11ApproxDistinct _),
     "e14_approx_quantile" -> (Analytics.e14ApproxQuantile _),
@@ -90,5 +95,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracle ++ EventOps.oracle ++ Dedup.oracle ++
       DedupApprox.oracle ++ Similarity.oracle ++ TextOps.oracle ++
-      AsOf.oracle ++ RangeJoin.oracle ++ Sampling.oracle
+      AsOf.oracle ++ RangeJoin.oracle ++ Sampling.oracle ++
+      AnomalyML.oracle
 }

@@ -128,6 +128,26 @@ object Analytics {
       .orderBy("o_orderstatus")
   }
 
+  /** q12_grouping_sets — two independent marginal aggregates (by
+    * returnflag, by linestatus) in ONE scan via GROUPING SETS, with
+    * `grouping_id` disambiguating which set a row belongs to. The
+    * single-pass form replaces two scans + a union: Spark expands the
+    * sets map-side (one `Expand` node), so the fact table is read once
+    * however many marginals you ask for — the rollup-report shape q8
+    * generalizes. [sql-oracle]. */
+  def q12GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("gid"), col("n"), col("sum_qty"))
+      .orderBy("gid", "rf", "ls")
+  }
+
   /** q6_conditional_agg — CASE-WHEN pivot-style aggregates (single scan,
     * no shuffle per pivot column). */
   def q6ConditionalAgg(s: SparkSession, dir: String): DataFrame = {
@@ -218,6 +238,12 @@ object Analytics {
   /** DuckDB oracle SQL for §2.A — constructed with the same decimal
     * intermediates / expression shapes as the DataFrame plans above. */
   val oracle: Map[String, String] = Map(
+    "q12_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        | GROUPING(l_returnflag, l_linestatus) AS gid,
+        | COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY gid, rf, ls""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

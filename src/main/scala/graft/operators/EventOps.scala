@@ -213,7 +213,70 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** e15_interpolate — linear time-weighted interpolation of the same
+    * sparsely-null series e13 forward-fills: each gap row takes
+    * prev + (next − prev) · (t − t_prev)/(t_next − t_prev) between its
+    * key's nearest valid neighbors (forward/backward fill at the series
+    * edges). Interpolation preserves trends dropped-or-held readings
+    * distort, which matters to every detector downstream of repair.
+    *
+    * Scale: two per-key running windows (one forward, one backward) —
+    * partition by key, sort within partition, no driver state; same
+    * plan class as e13/e3. [sql-oracle] — the interpolation expression
+    * is written with the identical division/multiplication shape on
+    * both engines, and the time ratio divides as double/double (a
+    * bigint/bigint `/` is float division in DuckDB but would need the
+    * same explicit cast anyway to be audit-proof). */
+  def e15Interpolate(s: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val ord = Window.partitionBy("user_id").orderBy("secs", "event_id")
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+    val frac = (col("secs") - col("ps")).cast("double") /
+      (col("ns") - col("ps")).cast("double")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("secs"),
+        when(k > 10, col("value")).as("v"))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("ps", last(when(col("v").isNotNull, col("secs")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("ns", first(when(col("v").isNotNull, col("secs")), ignoreNulls = true).over(wNext))
+      .withColumn("filled",
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNotNull && col("nv").isNotNull && col("ns") > col("ps"),
+            round(col("pv") + (col("nv") - col("pv")) * frac, 6))
+          .when(col("pv").isNotNull, col("pv"))
+          .otherwise(col("nv")))
+      .select(col("event_id"), col("user_id"), col("secs"),
+        col("v"), col("filled"), col("v").isNull.as("was_gap"))
+      .orderBy("event_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "e15_interpolate" ->
+      """WITH g AS (SELECT event_id, user_id,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS secs,
+        |  CASE WHEN CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) > 10
+        |       THEN value END AS v
+        |FROM events),
+        |n AS (SELECT *,
+        |  LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+        |  LAST_VALUE(CASE WHEN v IS NOT NULL THEN secs END IGNORE NULLS) OVER wp AS ps,
+        |  FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+        |  FIRST_VALUE(CASE WHEN v IS NOT NULL THEN secs END IGNORE NULLS) OVER wn AS ns
+        |FROM g
+        |WINDOW wp AS (PARTITION BY user_id ORDER BY secs, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |       wn AS (PARTITION BY user_id ORDER BY secs, event_id
+        |              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, secs, v,
+        | CASE WHEN v IS NOT NULL THEN v
+        |      WHEN pv IS NOT NULL AND nv IS NOT NULL AND ns > ps
+        |        THEN ROUND(pv + (nv - pv) * (CAST(secs - ps AS DOUBLE) / CAST(ns - ps AS DOUBLE)), 6)
+        |      WHEN pv IS NOT NULL THEN pv
+        |      ELSE nv END AS filled,
+        | v IS NULL AS was_gap
+        |FROM n ORDER BY event_id""".stripMargin,
     "e13_gap_fill" ->
       """WITH g AS (SELECT event_id, user_id,
         |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS secs,

@@ -186,10 +186,37 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** i6_take_per_group — exact-N deterministic per-stratum sample: the
+    * first 20 docs of each source in portable-hash order ("exactly N
+    * docs per domain, reproducibly") — the eval-set / per-domain-cap
+    * primitive a keep-fraction sample (i1) can't express, since a
+    * fraction tracks stratum size while a cap must not. Runs on the
+    * TopKPerGroup physical operator with the hash ascending: bounded
+    * per-partition k-heaps per source, so the shuffle carries at most
+    * k·strata candidate rows, never the corpus. [sql-oracle]
+    * (ROW_NUMBER over the same portable-hash order). */
+  def i6TakePerGroup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("h", PortableHash.bucket(col("doc_id"), "i6", Buckets))
+    graft.plans.TopKPerGroup.perKey(docs,
+        Seq(col("source")), Seq(col("h").asc, col("doc_id").asc), 20)
+      .select(col("doc_id"), col("source"), col("h"), col("rank").as("rn"))
+      .orderBy("source", "rn")
+  }
+
   private def duckWeight =
     "CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3 ELSE 1 END"
 
   val oracle: Map[String, String] = Map(
+    "i6_take_per_group" ->
+      s"""SELECT doc_id, source, h, CAST(rn AS INTEGER) AS rn
+         |FROM (SELECT doc_id, source,
+         |        ${PortableHash.duckBucket("doc_id", "i6", 1000000L)} AS h,
+         |        ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY ${PortableHash.duckBucket("doc_id", "i6", 1000000L)}, doc_id) AS rn
+         |      FROM documents) t
+         |WHERE rn <= 20 ORDER BY source, rn""".stripMargin,
     "i5_global_shuffle" ->
       s"""SELECT doc_id,
          |  ROW_NUMBER() OVER (ORDER BY

@@ -48,6 +48,34 @@ object Similarity {
     annBrute(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5))
   }
 
+  /** s5_filtered_ann — metadata-filtered exact ANN: top-k cosine
+    * neighbors restricted to corpus vectors sharing the query's label
+    * (the filtered-vector-search shape every retrieval stack needs —
+    * "nearest neighbors among docs matching this predicate"). The
+    * filter is applied PRE-scoring as the join key itself: the
+    * broadcast hash join on `label` means a corpus row is never scored
+    * against a query it can't match, so selectivity directly divides
+    * scan cost — the scale-correct pre-filter form (post-filtering a
+    * global top-k both over-scans and under-returns). [sql-oracle]. */
+  def s5FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label").as("lbl"),
+        col("embedding").as("eq"),
+        sqrt(VectorOps.normSq(col("embedding"))).as("qn"))
+    val c = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cid"), col("label").as("lbl"),
+        col("embedding").as("ec"),
+        sqrt(VectorOps.normSq(col("embedding"))).as("cn"))
+    val cos = VectorOps.dot(col("eq"), col("ec")) / (col("qn") * col("cn"))
+    graft.plans.TopKPerGroup.perKey(
+        c.join(broadcast(q), "lbl").withColumn("cos", cos),
+        Seq(col("qid")), Seq(col("cos").desc, col("cid")), 10)
+      .select(col("qid"), col("lbl"), col("cid"),
+        round(col("cos"), 6).as("cos"), col("rank").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** Random-hyperplane signatures (Charikar STOC 2002 SimHash for
     * cosine): 16 tables × 4 bits, deterministic.
     * Bits/table sets bucket granularity — collision prob per table is
@@ -241,6 +269,26 @@ object Similarity {
         |           FROM dots JOIN nrm nq ON dots.qid = nq.vec_id
         |                     JOIN nrm nc ON dots.cid = nc.vec_id)
         |SELECT qid, cid, ROUND(cos, 6) AS cos, CAST(rn AS INTEGER) AS rn
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |                                   ORDER BY cos DESC, cid) AS rn
+        |      FROM scored) t
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "s5_filtered_ann" ->
+      """WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |            generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(SUM(x * x)) AS n FROM ex GROUP BY vec_id),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x * c.x) AS dot
+        |         FROM ex q JOIN ex c ON q.i = c.i
+        |         JOIN lab ql ON ql.vec_id = q.vec_id
+        |         JOIN lab cl ON cl.vec_id = c.vec_id
+        |         WHERE q.vec_id < 5 AND c.vec_id >= 5 AND ql.label = cl.label
+        |         GROUP BY q.vec_id, c.vec_id),
+        |scored AS (SELECT qid, ql.label AS lbl, cid, dot / (nq.n * nc.n) AS cos
+        |           FROM dots JOIN nrm nq ON dots.qid = nq.vec_id
+        |                     JOIN nrm nc ON dots.cid = nc.vec_id
+        |                     JOIN lab ql ON ql.vec_id = dots.qid)
+        |SELECT qid, lbl, cid, ROUND(cos, 6) AS cos, CAST(rn AS INTEGER) AS rn
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         |                                   ORDER BY cos DESC, cid) AS rn
         |      FROM scored) t

@@ -1,0 +1,174 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SURVEY.md §2 round-3 part-3 additions — e15 (linear interpolation),
+  * a5 (Mahalanobis multivariate outliers), s5 (filtered ANN), i6
+  * (exact-N per-stratum sample), q12 (grouping sets). All five are
+  * DuckDB-oracled in Verify; these specs pin the semantic invariants
+  * the hash compare can't articulate.
+  */
+class Round3bOpsSpec extends SparkSpec {
+
+  test("e15_interpolate matches a per-key driver recompute and stays inside its neighbor bracket") {
+    val rows = EventOps.e15Interpolate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var interpolated = 0
+    rows.groupBy(_.getLong(1)).values.foreach { keyRows =>
+      val ordered = keyRows.sortBy(r => (r.getLong(2), r.getLong(0)))
+      val valid = ordered.zipWithIndex.collect {
+        case (r, i) if !r.isNullAt(3) => (i, r.getLong(2), r.getDouble(3))
+      }
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val filled = if (r.isNullAt(4)) None else Some(r.getDouble(4))
+        if (!r.isNullAt(3)) {
+          assert(!r.getBoolean(5) && filled.contains(r.getDouble(3)))
+        } else {
+          assert(r.getBoolean(5))
+          val prev = valid.filter(_._1 < i).lastOption
+          val next = valid.find(_._1 > i)
+          val expect = (prev, next) match {
+            case (Some((_, ps, pv)), Some((_, ns, nv))) if ns > ps =>
+              val raw = pv + (nv - pv) * ((r.getLong(2) - ps).toDouble / (ns - ps).toDouble)
+              interpolated += 1
+              // interpolation never escapes the neighbor bracket
+              assert(filled.get >= math.min(pv, nv) - 1e-9 &&
+                filled.get <= math.max(pv, nv) + 1e-9)
+              Some(new JBigDecimal(raw).setScale(6, RoundingMode.HALF_UP).doubleValue)
+            case (Some((_, _, pv)), _) => Some(pv)
+            case (None, Some((_, _, nv))) => Some(nv)
+            case (None, None) => None
+          }
+          (filled, expect) match {
+            case (Some(f), Some(e)) => assert(math.abs(f - e) < 1e-9)
+            case (f, e) => assert(f == e)
+          }
+        }
+      }
+    }
+    assert(interpolated > 0, "corpus must exercise the two-neighbor interpolation path")
+  }
+
+  test("a5_mahalanobis agrees with a driver-side quadratic form and catches joint-only anomalies") {
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("int").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    // mirror the operator's decimal-sum moment discipline exactly
+    def dec(v: Double, scale: Int) =
+      new JBigDecimal(v).setScale(scale, RoundingMode.HALF_UP)
+    val d2ByEvent: Map[Long, (Double, Double, Double)] =
+      ev.groupBy(_._2).iterator.flatMap { case (_, g) =>
+      val n = g.length.toDouble
+      def s(f: ((Long, String, Double, Double)) => JBigDecimal) =
+        g.map(f).reduce(_ add _).doubleValue
+      val sx = s(r => dec(r._3, 6)); val sy = s(r => dec(r._4, 6))
+      val sxx = s(r => dec(r._3 * r._3, 10)); val syy = s(r => dec(r._4 * r._4, 10))
+      val sxy = s(r => dec(r._3 * r._4, 10))
+      val mx = sx / n; val my = sy / n
+      val cxx = (sxx - sx * sx / n) / (n - 1); val cyy = (syy - sy * sy / n) / (n - 1)
+      val cxy = (sxy - sx * sy / n) / (n - 1)
+      val det = cxx * cyy - cxy * cxy
+      val sdx = math.sqrt(cxx); val sdy = math.sqrt(cyy)
+      g.map { r =>
+        val dx = r._3 - mx; val dy = r._4 - my
+        val d2 = (dx * dx * cyy - 2.0 * dx * dy * cxy + dy * dy * cxx) / det
+        r._1 -> ((d2, math.abs(dx / sdx), math.abs(dy / sdy)))
+      }
+    }.toMap
+    val flagged = AnomalyML.a5Mahalanobis(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    flagged.foreach { case (id, d2) =>
+      assert(d2 > 9 - 1e-6)
+      assert(math.abs(d2ByEvent(id)._1 - d2) < 1e-5)
+    }
+    // away from the d² = 9 boundary the flag sets must agree exactly
+    d2ByEvent.foreach { case (id, (d2, _, _)) =>
+      if (d2 > 9.01) assert(flagged.contains(id), s"missed clear outlier $id")
+      if (d2 < 8.99) assert(!flagged.contains(id), s"false flag $id")
+    }
+    // the multivariate point: some flagged row is unremarkable on BOTH
+    // univariate axes (|z| < 3 each) — only the joint view catches it
+    assert(flagged.keys.exists { id =>
+      val (_, zx, zy) = d2ByEvent(id); zx < 3 && zy < 3
+    }, "no joint-only anomaly found — univariate detectors would have caught everything")
+  }
+
+  test("s5_filtered_ann returns the label-constrained exact top-10 per query") {
+    val out = Similarity.s5FilteredAnn(spark, sf).collect()
+    val emb = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val corpus = emb.filter(_._1 >= 5)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    emb.filter(_._1 < 5).foreach { case (qid, qv, qlbl) =>
+      val got = out.filter(_.getLong(0) == qid).sortBy(_.getInt(4))
+      // every hit shares the query's label (the filter is the contract)
+      assert(got.forall(_.getInt(1) == qlbl))
+      assert(got.map(_.getInt(4)).toSeq == (1 to got.length))
+      val expect = corpus.filter(_._3 == qlbl)
+        .map { case (cid, cv, _) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(10)
+      assert(got.map(_.getLong(2)).toSeq == expect.map(_._1).toSeq)
+      got.zip(expect).foreach { case (g, (_, c)) =>
+        assert(math.abs(g.getDouble(3) - c) < 1e-5)
+      }
+    }
+    // the filter does real work: some unfiltered top-10 (s1) hit has a
+    // different label and therefore cannot appear in s5's result
+    val s1 = Similarity.s1AnnBrute(spark, sf).collect()
+    val lbl = emb.map(e => e._1 -> e._3).toMap
+    assert(s1.exists(r => lbl(r.getLong(1)) != lbl(r.getLong(0))))
+  }
+
+  test("i6_take_per_group takes exactly k docs per source in portable-hash order") {
+    val out = Sampling.i6TakePerGroup(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:i6".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    docs.groupBy(_._2).foreach { case (src, g) =>
+      val got = out.filter(_.getString(1) == src).sortBy(_.getInt(3))
+      assert(got.length == math.min(20, g.length))
+      val expect = g.map { case (id, _) => (bucket(id), id) }.sorted.take(20)
+      assert(got.map(r => (r.getLong(2), r.getLong(0))).toSeq == expect.toSeq)
+    }
+  }
+
+  test("q12_grouping_sets equals the two marginal aggregates from one scan") {
+    val out = Analytics.q12GroupingSets(spark, sf).collect()
+    assert(out.map(_.getLong(2)).toSet == Set(1L, 2L))
+    val li = graft.Tables.lineitem(spark, sf)
+    def marginal(c: String) = li.groupBy(c)
+      .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,6)")).cast("double"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val byRf = marginal("l_returnflag"); val byLs = marginal("l_linestatus")
+    out.filter(_.getLong(2) == 1L).foreach { r =>
+      assert(r.getString(1) == "ALL")
+      assert(byRf(r.getString(0)) == ((r.getLong(3), r.getDouble(4))))
+    }
+    out.filter(_.getLong(2) == 2L).foreach { r =>
+      assert(r.getString(0) == "ALL")
+      assert(byLs(r.getString(1)) == ((r.getLong(3), r.getDouble(4))))
+    }
+    assert(out.filter(_.getLong(2) == 1L).map(_.getLong(3)).sum ==
+      out.filter(_.getLong(2) == 2L).map(_.getLong(3)).sum)
+  }
+}
