@@ -199,6 +199,55 @@ class TwinEquivalenceSpec extends SparkSpec {
     assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
   }
 
+  test("st11 streaming SpaceSaving top-k == exact token counts when capacity covers the vocab") {
+    implicit val sc = spark.sqlContext
+    implicit val s = spark
+    import spark.implicits._
+    val texts = graft.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0))
+    val in = MemoryStream[String]
+    val tokens = in.toDS().flatMap(_.split(" ")).filter(_.nonEmpty)
+    val q = StreamTopK.topK(tokens, groups = 8, capacity = 1024)
+      .writeStream.format("memory").queryName("twin_st11")
+      .outputMode(OutputMode.Update).start()
+    texts.grouped(texts.length / 4 + 1).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    // capacity ≥ vocabulary ⇒ no displacement: every emission is exact
+    // (err = 0) and est is monotone, so latest-per-token = max = final
+    val streamed = spark.table("twin_st11").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.forall(_._3 == 0L))
+    val finalEst = streamed.groupBy(_._1).map { case (t, rows) =>
+      t -> rows.map(_._2).max }
+    val exact = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    assert(finalEst == exact,
+      s"tokens: stream ${finalEst.size} vs exact ${exact.size}")
+  }
+
+  test("st11 SpaceSaving bounds hold under displacement at tiny capacity") {
+    // skewed synthetic stream through the pure update step, capacity 4
+    // (vocab 10 ⇒ real evictions): SpaceSaving guarantees
+    // true ≤ est ≤ true + err, and retains every hitter above N/m
+    val stream = (1 to 400).flatMap { i =>
+      Seq("hot1", "hot2") ++ (if (i % 4 == 0) Seq(s"cold${i % 8}") else Nil)
+    }
+    val exact = stream.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    var sk = Map.empty[String, (Long, Long)]
+    stream.foreach { t => sk = StreamTopK.update(sk, t, capacity = 4) }
+    assert(sk.size <= 4)
+    sk.foreach { case (t, (est, err)) =>
+      val truth = exact(t)
+      assert(truth <= est && est <= truth + err, s"$t: $truth !in [$est-$err, $est]")
+    }
+    val threshold = stream.length / 4
+    exact.filter(_._2 > threshold).keys.foreach { t =>
+      assert(sk.contains(t), s"heavy hitter $t evicted")
+    }
+  }
+
   test("fromKafka's downstream path: binary value frame -> parse (MemoryStream passthrough)") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
