@@ -199,6 +199,44 @@ class TwinEquivalenceSpec extends SparkSpec {
     assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
   }
 
+  test("st12 streaming session windows == e4 batch sessionization on a replayed stream") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // floor-second event times + the inclusive-boundary gap (1801 s ⟺
+    // e4's `diff > 1800`, see SessionWindow.userSessions scaladoc) make
+    // the streaming form bit-comparable to the batch twin
+    val ev = graft.Tables.events(spark, sf)
+      .select($"ts".cast("long").cast("timestamp").as("ts"),
+        $"user_id", $"value")
+      .orderBy("ts").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val parsed = in.toDF().toDF("ts", "user_id", "value")
+    val q = SessionWindow.userSessions(parsed, gap = "1801 seconds")
+      .writeStream.format("memory").queryName("twin_st12")
+      .outputMode(OutputMode.Append).start()
+    ev.grouped(ev.length / 4 + 1).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    // advance event time far past the last session + watermark so every
+    // session closes and appends (the flush row forms its own session)
+    in.addData((new Timestamp(ev.last._1.getTime + 200L * 24 * 3600 * 1000),
+      -1L, 0.0))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("twin_st12")
+      .filter($"user_id" =!= -1L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(1), r.getDouble(4))).toSet
+    // e4's session id is an arbitrary per-user ordinal; the session
+    // CONTENT (key, first/last event second, n, exact sum) is the
+    // engine-independent identity both forms must agree on
+    val batch = EventOps.e4Sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getLong(2), r.getDouble(5))).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream=${streamed.size} batch=${batch.size}")
+  }
+
   test("st11 streaming SpaceSaving top-k == exact token counts when capacity covers the vocab") {
     implicit val sc = spark.sqlContext
     implicit val s = spark
