@@ -71,6 +71,7 @@ object SparkEntry {
     "a5_mahalanobis" -> (AnomalyML.a5Mahalanobis _),
     "s5_filtered_ann" -> (Similarity.s5FilteredAnn _),
     "i6_take_per_group" -> (Sampling.i6TakePerGroup _),
+    "i7_interleave" -> (Sampling.i7Interleave _),
     "q12_grouping_sets" -> (Analytics.q12GroupingSets _),
     // rows-only ops (hash/ML-algorithm-defined; spec-tested, no SQL oracle)
     "q11_approx_distinct" -> (Analytics.q11ApproxDistinct _),

@@ -186,6 +186,50 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** i7_interleave — deterministic interleaved training order: every
+    * doc gets its source-local position `pos` (portable-hash order
+    * within its source), and the composite key (pos, source) is the
+    * global order — position 0 of every source first, then position 1,
+    * … — a round-robin interleave. A plain global shuffle (i5) leaves a
+    * skewed corpus statistically blocky at the tail (the biggest source
+    * dominates the last stretch); interleaving guarantees every source
+    * is represented evenly throughout training.
+    *
+    * Scale: `pos` is a per-(source × hash-range-bucket) local rank
+    * stitched with broadcast per-bucket offsets (sources × 32 rows —
+    * KBs at any corpus size), the same two-phase prefix machinery as
+    * i4/i5 — never a per-source single-partition window (a window
+    * partitioned only by source caps parallelism at source
+    * cardinality). [sql-oracle]. */
+  def i7Interleave(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("ok", PortableHash.mdhash64(
+        concat(col("doc_id").cast("string"), lit(":il"))))
+      .withColumn("rb", expr("ok >> 55"))
+    // phase 1: (source, bucket) counts — a KB-scale driver pull;
+    // phase 2: running offsets per source, rejoined via broadcast
+    val counts = docs.groupBy("source", "rb").count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val offsets: Seq[(String, Long, Long)] =
+      counts.groupBy(_._1).toSeq.flatMap { case (src, g) =>
+        g.sortBy(_._2).scanLeft((src, Long.MinValue, 0L)) {
+          case ((_, _, acc), (_, rb, n)) => (src, rb, acc + n)
+        }.sliding(2).map {
+          case Array((_, _, prev), (s2, rb, _)) => (s2, rb, prev)
+        }.toSeq
+      }
+    import s.implicits._
+    val dim = broadcast(offsets.toDF("source", "rb", "off"))
+    val w = Window.partitionBy("source", "rb").orderBy("ok", "doc_id")
+    docs.join(dim, Seq("source", "rb"))
+      .withColumn("pos",
+        col("off") + row_number().over(w).cast("long") - lit(1L))
+      .select(col("doc_id"), col("source"), col("pos"))
+      .orderBy("doc_id")
+  }
+
   /** i6_take_per_group — exact-N deterministic per-stratum sample: the
     * first 20 docs of each source in portable-hash order ("exactly N
     * docs per domain, reproducibly") — the eval-set / per-domain-cap
@@ -209,6 +253,12 @@ object Sampling {
     "CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3 ELSE 1 END"
 
   val oracle: Map[String, String] = Map(
+    "i7_interleave" ->
+      s"""SELECT doc_id, source,
+         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+         |    ${PortableHash.duckMdhash64("CAST(doc_id AS VARCHAR) || ':il'")},
+         |    doc_id) - 1 AS pos
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "i6_take_per_group" ->
       s"""SELECT doc_id, source, h, CAST(rn AS INTEGER) AS rn
          |FROM (SELECT doc_id, source,

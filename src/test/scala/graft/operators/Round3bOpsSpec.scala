@@ -152,6 +152,29 @@ class Round3bOpsSpec extends SparkSpec {
     }
   }
 
+  test("i7_interleave gives dense per-source positions in hash order; (pos, source) round-robins") {
+    val out = Sampling.i7Interleave(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def hash(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:il".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val bySource = out.groupBy(_._2)
+    bySource.foreach { case (_, g) =>
+      // dense 0..n-1, ordered exactly by the portable hash
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (0L until g.length).toSeq)
+      val expect = g.map(d => (hash(d._1), d._1)).sorted.map(_._2).toSeq
+      assert(sorted.map(_._1).toSeq == expect)
+    }
+    // the interleave property: the first |sources| rows of the
+    // (pos, source) order hit every source exactly once
+    val head = out.sortBy(t => (t._3, t._2)).take(bySource.size)
+    assert(head.map(_._2).distinct.length == bySource.size)
+  }
+
   test("q12_grouping_sets equals the two marginal aggregates from one scan") {
     val out = Analytics.q12GroupingSets(spark, sf).collect()
     assert(out.map(_.getLong(2)).toSet == Set(1L, 2L))
