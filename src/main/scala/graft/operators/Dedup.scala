@@ -148,6 +148,57 @@ object Dedup {
   def d2DedupNgram(s: SparkSession, dir: String): DataFrame =
     ngramJaccard(Tables.spread(s, Tables.documents(s, dir)))
 
+  /** Asymmetric containment near-dup: A → B when ≥ `minCover` of A's
+    * distinct k-shingles also occur in B (common/|A| — the DIRECTED
+    * form of d2's symmetric Jaccard). This is the quote/excerpt/
+    * boilerplate-wrapper case Jaccard structurally misses: a short doc
+    * quoted whole inside a long one scores |A∩B|/|A∪B| ≈ |A|/|B| → 0
+    * but containment ≈ 1 — and it's the short doc you drop (the
+    * substring-dedup regime of Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", re-expressed on
+    * shingle sets). Emits both directions when both qualify; the
+    * drop policy (keep the superset doc) reads `a` as the contained
+    * side.
+    *
+    * Scale shape is exactly d2's: one inverted shingle index, hashed
+    * to longs pre-shuffle, doc-frequency-capped (Σf² bound), candidate
+    * pairs from the equi-join — never all-pairs. */
+  def containmentPairs(docs: DataFrame, k: Int = 5,
+      minCover: Double = 0.8): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("sh", expr(
+        s"array_distinct(transform(sequence(0, greatest(size(w) - $k, 0)), i -> concat_ws(' ', slice(w, i + 1, $k))))"))
+      .select(col("doc_id"), explode(col("sh")).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
+      .cache()
+    val kept = exploded.groupBy("g").count()
+      .filter(col("count") <= MaxShingleDf).select("g")
+    val idx = exploded.join(kept, "g").cache()
+    val counted = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val x = idx.select(col("doc_id").as("a"), col("g").as("ga"))
+    val y = idx.select(col("doc_id").as("b"), col("g").as("gb"))
+    val pairs = x.join(y, col("ga") === col("gb") && col("a") =!= col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"))
+    val cover = col("common") * lit(1.0) / col("na")
+    val out = pairs
+      .join(counted.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .filter(cover >= minCover)
+      .select(col("a"), col("b"), col("common"), col("na"),
+        round(cover, 6).as("cover"))
+      .orderBy("a", "b")
+      .localCheckpoint(true)
+    idx.unpersist()
+    exploded.unpersist()
+    out
+  }
+
+  /** d7_containment — [[containmentPairs]] on the documents table
+    * (5-word shingles, cover ≥ 0.8). */
+  def d7Containment(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.spread(s, Tables.documents(s, dir)))
+
   /** Connected components over an undirected (a, b) edge list by
     * iterative min-label propagation: every vertex starts as its own
     * label, each round takes the min over itself and its neighbors,
@@ -314,6 +365,23 @@ object Dedup {
         | SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         | FROM documents GROUP BY md5(text)) t
         |ORDER BY keeper""".stripMargin,
+    "d7_containment" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |        range(greatest(len(w) - 4, 1)),
+         |        i -> array_to_string(w[i + 1:i + 5], ' '))) AS sh FROM d),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |kept AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= $MaxShingleDf),
+         |p0 AS (SELECT e.doc_id, e.g FROM e JOIN kept USING (g)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM p0 GROUP BY doc_id),
+         |p AS (SELECT p0.doc_id, n_sh, g FROM p0 JOIN cnt USING (doc_id)),
+         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na,
+         |         COUNT(*) AS common
+         |       FROM p x JOIN p y ON x.g = y.g AND x.doc_id <> y.doc_id
+         |       GROUP BY 1, 2, 3)
+         |SELECT a, b, common, na, ROUND(common * 1.0 / na, 6) AS cover
+         |FROM pr WHERE common * 1.0 / na >= 0.8
+         |ORDER BY a, b""".stripMargin,
     "d2_dedup_ngram" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |s AS (SELECT doc_id, list_distinct(list_transform(

@@ -175,6 +175,44 @@ class Round3bOpsSpec extends SparkSpec {
     assert(head.map(_._2).distinct.length == bySource.size)
   }
 
+  test("d7_containment matches a driver-side shingle recompute and is genuinely asymmetric") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length <= 5) Set(w.mkString(" "))
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val df = sh.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val kept = sh.map { case (id, s) => id -> s.filter(df(_) <= Dedup.MaxShingleDf) }
+    val expect = (for {
+      (a, sa) <- kept.toSeq; (b, sb) <- kept.toSeq
+      if a != b && sa.nonEmpty
+      common = (sa & sb).size
+      if common.toDouble / sa.size >= 0.8
+    } yield (a, b) -> ((common.toLong, sa.size.toLong))).toMap
+    val got = Dedup.d7Containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty && got == expect,
+      s"got ${got.size} pairs, expected ${expect.size}")
+    // asymmetry on the crafted case the op exists for: a short doc
+    // quoted whole inside a much longer one — containment flags the
+    // short side (one direction only) while its Jaccard is far below
+    // d2's 0.5 threshold
+    import spark.implicits._
+    val quote = (1 to 8).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 80).map(i => s"f$i").mkString(" ")
+    val crafted = Seq((1L, quote), (2L, s"$filler $quote $filler"))
+      .toDF("doc_id", "text")
+    val dir1 = Dedup.containmentPairs(crafted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(dir1.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)))
+    assert(dir1.head._3 == 1.0) // every shingle of the quote is in the host
+    assert(Dedup.ngramJaccard(crafted).collect().isEmpty,
+      "symmetric Jaccard must miss the quoted-subset case")
+  }
+
   test("q12_grouping_sets equals the two marginal aggregates from one scan") {
     val out = Analytics.q12GroupingSets(spark, sf).collect()
     assert(out.map(_.getLong(2)).toSet == Set(1L, 2L))
