@@ -237,6 +237,34 @@ class TwinEquivalenceSpec extends SparkSpec {
       s"stream=${streamed.size} batch=${batch.size}")
   }
 
+  test("st13 streaming EWMA == a2 batch scan, row for row, on a replayed stream") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"value", $"ts".cast("long").as("secs"))
+      .orderBy("secs", "event_id").collect()
+      .map(r => graft.operators.EventRow(r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3)))
+    val in = MemoryStream[graft.operators.EventRow]
+    val q = StreamEwma.smooth(in.toDS())
+      .writeStream.format("memory").queryName("twin_st13")
+      .outputMode(OutputMode.Append).start()
+    // time-ordered chunks: sequential-state ops own intra-batch order,
+    // the source owns cross-batch order (st8/st9 contract)
+    ev.grouped(ev.length / 5 + 1).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("twin_st13").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val batch = graft.operators.AnomalyML.a2Ewma(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream=${streamed.size} batch=${batch.size}")
+  }
+
   test("st11 streaming SpaceSaving top-k == exact token counts when capacity covers the vocab") {
     implicit val sc = spark.sqlContext
     implicit val s = spark
