@@ -89,7 +89,8 @@ object SparkEntry {
     "s4_ann_pq" -> (Similarity.s4AnnPq _),
     "m1_binary_meta" -> (Multimodal.m1BinaryMeta _),
     "m2_feature_stub" -> ((s, d) => Multimodal.m2FeatureStub(s, d)),
-    "m3_frame_sample" -> ((s, d) => Multimodal.m3FrameSample(s, d))
+    "m3_frame_sample" -> ((s, d) => Multimodal.m3FrameSample(s, d)),
+    "m4_percep_dedup" -> ((s, d) => Multimodal.m4PercepDedup(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

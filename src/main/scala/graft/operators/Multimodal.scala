@@ -41,6 +41,71 @@ object Multimodal {
     (math.rint(mean * 1e6) / 1e6, mx, h)
   }
 
+  /** Shared stub "decode": L1-normalized 8-bin byte-range histogram
+    * (stands in for decoded-image features; deterministic). */
+  private[graft] def hist8(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](8)
+    payload.foreach { b => hist((b & 0xff) >> 5) += 1.0 }
+    val n = math.max(payload.length, 1)
+    hist.map(h => math.rint(h / n * 1e6) / 1e6)
+  }
+
+  /** Difference-hash signature over the feature histogram: bit i set
+    * when hist(i) > hist(i+1) — the gradient-sign pattern of dHash
+    * (the classic perceptual image hash), which survives small payload
+    * perturbations that shift absolute bin mass but not bin ORDER. */
+  private[graft] def dhashSig(hist: Array[Double]): Int =
+    (0 until 7).foldLeft(0) { (acc, i) =>
+      if (hist(i) > hist(i + 1)) acc | (1 << i) else acc
+    }
+
+  /** m4_percep_dedup — perceptual near-dup pairs over media payloads:
+    * stub-decode each payload to its feature histogram, bucket by the
+    * dHash gradient signature, and exact-verify same-bucket candidates
+    * by feature L1 distance ≤ `maxL1`. This composes the §2.G decode
+    * plumbing with the §2.D dedup machinery — the "same image,
+    * different encode" case byte-exact dedup (d1) structurally misses,
+    * in the shape every image-corpus pipeline runs (pHash/dHash
+    * bucketing + verify).
+    *
+    * Scale: signature computation is a narrow map; the candidate join
+    * is an equi-join on the signature (bucketed, never all-pairs — the
+    * d2/d4 discipline); the exact L1 verify runs only on same-bucket
+    * pairs. With real images swap `hist8` for a decoded-gradient
+    * dHash (64-bit) and band it d4-style; plan shape unchanged.
+    * [rows-only]: spec asserts driver-recompute equality and that
+    * byte-identical payloads always pair at l1 = 0. */
+  def m4PercepDedup(s: SparkSession, dir: String,
+      maxL1: Double = 0.05): DataFrame =
+    percepPairs(
+      Tables.spread(s, Tables.documents(s, dir))
+        .select(col("doc_id"), col("text").cast("binary").as("payload")),
+      maxL1)
+
+  /** Generic core of [[m4PercepDedup]] over any (doc_id, payload)
+    * frame. */
+  def percepPairs(docs: DataFrame, maxL1: Double = 0.05): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val feats = docs
+      .select(col("doc_id"), col("payload"))
+      .as[BinDoc]
+      .map { d =>
+        val h = hist8(d.payload)
+        (d.doc_id, dhashSig(h), h.toSeq)
+      }
+      .toDF("doc_id", "sig", "hist")
+    val a = feats.select(col("doc_id").as("a"), col("sig"), col("hist").as("ha"))
+    val b = feats.select(col("doc_id").as("b"), col("sig"), col("hist").as("hb"))
+    val l1 = expr("aggregate(zip_with(ha, hb, (x, y) -> abs(x - y)), 0D, (acc, v) -> acc + v)")
+    a.join(b, Seq("sig"))
+      .filter(col("a") < col("b"))
+      .withColumn("l1", l1)
+      .filter(col("l1") <= maxL1)
+      .select(col("a"), col("b"), col("sig"), round(col("l1"), 6).as("l1"))
+      .orderBy("a", "b")
+  }
+
   /** m2_feature_stub — the batched "decode → feature vector" shape of a
     * media pipeline: payloads are processed in fixed-size batches inside
     * each partition (the Scala analogue of a mapInPandas Arrow batch),
@@ -66,13 +131,9 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           // STUB decode: stands in for e.g. JPEG decode + CNN features.
-          // 8-dim feature = byte-range histogram, L1-normalized.
+          // 8-dim feature = byte-range histogram, L1-normalized (hist8).
           batch.map { d =>
-            val hist = new Array[Double](dims)
-            d.payload.foreach { b => hist((b & 0xff) >> 5) += 1.0 }
-            val n = math.max(d.payload.length, 1)
-            (d.doc_id, batch.size,
-              hist.map(h => math.rint(h / n * 1e6) / 1e6).toSeq)
+            (d.doc_id, batch.size, hist8(d.payload).toSeq)
           }
         }
       }

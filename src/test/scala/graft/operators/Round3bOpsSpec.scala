@@ -213,6 +213,38 @@ class Round3bOpsSpec extends SparkSpec {
       "symmetric Jaccard must miss the quoted-subset case")
   }
 
+  test("m4_percep_dedup matches a driver recompute; identical payloads pair at l1=0, perturbed ones survive") {
+    // corpus binding equals the driver-side recompute of the same
+    // sig-bucket + L1-verify pipeline
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    val feats = docs.map { case (id, p) =>
+      (id, Multimodal.dhashSig(Multimodal.hist8(p)), Multimodal.hist8(p)) }
+    val expect = (for {
+      (a, sa, ha) <- feats; (b, sb, hb) <- feats
+      if a < b && sa == sb
+      l1 = ha.zip(hb).map { case (x, y) => math.abs(x - y) }.sum
+      if l1 <= 0.05
+    } yield (a, b)).toSet
+    val got = Multimodal.m4PercepDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"got ${got.size} expected ${expect.size}")
+    // crafted: byte-identical payloads MUST pair at l1 = 0; a lightly
+    // perturbed payload keeps the gradient signature (the perceptual
+    // point); a structurally different one must not pair
+    import spark.implicits._
+    val base = Array.tabulate(512)(i => ((i * 37) % 251).toByte)
+    val tweaked = base.clone(); tweaked(100) = ((tweaked(100) & 0xff) ^ 1).toByte
+    val different = Array.fill(512)(0.toByte)
+    val crafted = Seq((1L, base), (2L, base.clone()), (3L, tweaked),
+      (4L, different)).toDF("doc_id", "payload")
+    val pairs = Multimodal.percepPairs(crafted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs((1L, 2L)) == 0.0)
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.keys.exists { case (x, y) => x == 4L || y == 4L })
+  }
+
   test("q12_grouping_sets equals the two marginal aggregates from one scan") {
     val out = Analytics.q12GroupingSets(spark, sf).collect()
     assert(out.map(_.getLong(2)).toSet == Set(1L, 2L))
