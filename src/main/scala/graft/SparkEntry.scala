@@ -74,6 +74,8 @@ object SparkEntry {
     "i6_take_per_group" -> (Sampling.i6TakePerGroup _),
     "i7_interleave" -> (Sampling.i7Interleave _),
     "q12_grouping_sets" -> (Analytics.q12GroupingSets _),
+    "q13_window_suite" -> (Analytics.q13WindowSuite _),
+    "e16_correlation" -> (EventOps.e16Correlation _),
     // rows-only ops (hash/ML-algorithm-defined; spec-tested, no SQL oracle)
     "q11_approx_distinct" -> (Analytics.q11ApproxDistinct _),
     "e14_approx_quantile" -> (Analytics.e14ApproxQuantile _),

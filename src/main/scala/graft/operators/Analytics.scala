@@ -148,6 +148,26 @@ object Analytics {
       .orderBy("gid", "rf", "ls")
   }
 
+  /** q13_window_suite — the ranking-window family in one pass per
+    * group: ntile quartiles, percent_rank, cume_dist over price order
+    * (the percentile-bucket / relative-standing reports every BI layer
+    * asks of a fact table). One hash-partitioned sort per group — the
+    * window frame is rank-only (no buffering), and all four functions
+    * share the single sort. The ORDER BY carries a full unique
+    * tiebreak (orderkey, linenumber) so rank ties cannot exist and
+    * both engines agree bit-for-bit. [sql-oracle]. */
+  def q13WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** q6_conditional_agg — CASE-WHEN pivot-style aggregates (single scan,
     * no shuffle per pivot column). */
   def q6ConditionalAgg(s: SparkSession, dir: String): DataFrame = {
@@ -238,6 +258,15 @@ object Analytics {
   /** DuckDB oracle SQL for §2.A — constructed with the same decimal
     * intermediates / expression shapes as the DataFrame plans above. */
   val oracle: Map[String, String] = Map(
+    "q13_window_suite" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        | CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        | ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        | ROUND(CUME_DIST() OVER w, 6) AS cume
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q12_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         | GROUPING(l_returnflag, l_linestatus) AS gid,

@@ -252,7 +252,70 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** e16_correlation — pairwise Pearson correlation between event-type
+    * series: align each type's per-minute mean series on the time key,
+    * then correlate every type pair over the minutes both have data.
+    * "Which sensors move together" is the cross-entity question the
+    * reference's per-entity windows never ask, and the one that exposes
+    * a plant whose outputs decouple (the joint-anomaly theme of a5 at
+    * the series level rather than the point level).
+    *
+    * Scale: the per-(minute, type) rollup is one map-side-combined agg
+    * (output ≈ minutes × types — tiny); the pair join is an equi-join
+    * on the minute key fanning out types×(types−1)/2 — never a
+    * Cartesian over events; the final agg is O(pairs). [sql-oracle]:
+    * every moment flows through exact decimal sums and the correlation
+    * quotient is written with the identical operation shape on both
+    * engines. */
+  def e16Correlation(s: SparkSession, dir: String): DataFrame = {
+    val byMin = Tables.events(s, dir)
+      .groupBy(unix_timestamp(date_trunc("minute", col("ts"))).as("m"),
+        col("event_type"))
+      .agg(count(lit(1)).as("nm"), dsum(col("value")).as("sm"))
+      .withColumn("v", col("sm") / col("nm"))
+      .select("m", "event_type", "v")
+    val a = byMin.select(col("m"), col("event_type").as("ta"), col("v").as("va"))
+    val b = byMin.select(col("m"), col("event_type").as("tb"), col("v").as("vb"))
+    val pairs = a.join(b, "m").filter(col("ta") < col("tb"))
+    val st = pairs.groupBy("ta", "tb").agg(
+      count(lit(1)).as("n"),
+      dsum(col("va")).as("sx"), dsum(col("vb")).as("sy"),
+      sum((col("va") * col("va")).cast(DecimalType(28, 10))).cast("double").as("sxx"),
+      sum((col("vb") * col("vb")).cast(DecimalType(28, 10))).cast("double").as("syy"),
+      sum((col("va") * col("vb")).cast(DecimalType(28, 10))).cast("double").as("sxy"))
+    // degenerate pairs (single shared minute, or a flat series) have no
+    // defined correlation — excluded with the IDENTICAL predicate on
+    // both engines, which also keeps the quotient division-by-zero-free
+    val varx = col("sxx") - col("sx") * col("sx") / col("n")
+    val vary = col("syy") - col("sy") * col("sy") / col("n")
+    val r = (col("sxy") - col("sx") * col("sy") / col("n")) / sqrt(varx * vary)
+    st.filter(col("n") > 1 && varx > 0 && vary > 0)
+      .select(col("ta"), col("tb"), col("n"), round(r, 6).as("r"))
+      .orderBy("ta", "tb")
+  }
+
   val oracle: Map[String, String] = Map(
+    "e16_correlation" ->
+      """WITH bym AS (SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS m,
+        |  event_type, COUNT(*) AS nm,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sm
+        | FROM events GROUP BY m, event_type),
+        |v AS (SELECT m, event_type, sm / nm AS v FROM bym),
+        |pr AS (SELECT a.m, a.event_type AS ta, b.event_type AS tb,
+        |         a.v AS va, b.v AS vb
+        |       FROM v a JOIN v b ON a.m = b.m AND a.event_type < b.event_type),
+        |st AS (SELECT ta, tb, COUNT(*) AS n,
+        |  CAST(SUM(CAST(va AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(vb AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(va * va AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(vb * vb AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(va * vb AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+        | FROM pr GROUP BY ta, tb)
+        |SELECT ta, tb, n,
+        | ROUND((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS r
+        |FROM st
+        |WHERE n > 1 AND sxx - sx*sx/n > 0 AND syy - sy*sy/n > 0
+        |ORDER BY ta, tb""".stripMargin,
     "e15_interpolate" ->
       """WITH g AS (SELECT event_id, user_id,
         |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS secs,

@@ -245,6 +245,60 @@ class Round3bOpsSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (x, y) => x == 4L || y == 4L })
   }
 
+  test("e16_correlation lies in [-1,1], covers all type pairs, and matches a driver recompute") {
+    val rows = EventOps.e16Correlation(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val types = graft.Tables.events(spark, sf).select("event_type")
+      .distinct().collect().map(_.getString(0)).sorted
+    // every pair unless degenerate (flat series / single shared minute)
+    assert(rows.nonEmpty &&
+      rows.length <= types.length * (types.length - 1) / 2)
+    rows.foreach { case (ta, tb, n, r) =>
+      assert(ta < tb && n > 1 && r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9)
+    }
+    // driver recompute on one pair (plain doubles, loose tolerance —
+    // the exact-decimal contract is the DuckDB hash check's job)
+    val byMin = graft.Tables.events(spark, sf)
+      .select(col("ts").cast("long"), col("event_type"), col("value")).collect()
+      .map(r => ((r.getLong(0) / 60, r.getString(1)), r.getDouble(2)))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum / g.size }
+    val (ta, tb, _, _) = rows.head
+    val common = byMin.collect { case ((m, t), v) if t == ta => m -> v }.toMap
+      .flatMap { case (m, va) => byMin.get((m, tb)).map(vb => (va, vb)) }.toSeq
+    val n = common.size.toDouble
+    val (sx, sy) = (common.map(_._1).sum, common.map(_._2).sum)
+    val sxy = common.map(p => p._1 * p._2).sum
+    val sxx = common.map(p => p._1 * p._1).sum
+    val syy = common.map(p => p._2 * p._2).sum
+    val expect = (sxy - sx * sy / n) /
+      math.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+    val got = rows.find(r => r._1 == ta && r._2 == tb).get
+    assert(got._3 == common.size)
+    assert(math.abs(got._4 - expect) < 1e-6)
+  }
+
+  test("q13_window_suite rank functions match their definitions per group") {
+    val rows = Analytics.q13WindowSuite(spark, sf).collect()
+      .map(r => (r.getString(2), r.getDouble(3), r.getLong(0),
+        r.getInt(1).toLong, r.getInt(4), r.getDouble(5), r.getDouble(6)))
+    rows.groupBy(_._1).values.foreach { g =>
+      val ordered = g.sortBy(t => (t._2, t._3, t._4))
+      val n = ordered.length
+      // NTILE: sizes differ by ≤1, the n%k larger buckets come first
+      val (q, rem) = (n / 4, n % 4)
+      def ntileOf(i: Int): Int =
+        if (i < rem * (q + 1)) i / (q + 1) + 1
+        else rem + (i - rem * (q + 1)) / q + 1
+      ordered.zipWithIndex.foreach { case ((_, _, _, _, quart, pr, cd), i) =>
+        // no order-by ties (unique tiebreak), so the definitions close over i
+        assert(quart == ntileOf(i))
+        assert(math.abs(pr - (if (n == 1) 0.0
+          else math.rint(i.toDouble / (n - 1) * 1e6) / 1e6)) < 1e-9)
+        assert(math.abs(cd - math.rint((i + 1).toDouble / n * 1e6) / 1e6) < 1e-9)
+      }
+    }
+  }
+
   test("q12_grouping_sets equals the two marginal aggregates from one scan") {
     val out = Analytics.q12GroupingSets(spark, sf).collect()
     assert(out.map(_.getLong(2)).toSet == Set(1L, 2L))
