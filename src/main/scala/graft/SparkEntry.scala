@@ -73,6 +73,7 @@ object SparkEntry {
     "s5_filtered_ann" -> (Similarity.s5FilteredAnn _),
     "i6_take_per_group" -> (Sampling.i6TakePerGroup _),
     "i7_interleave" -> (Sampling.i7Interleave _),
+    "i8_token_budget" -> ((s, d) => Sampling.i8TokenBudget(s, d)),
     "q12_grouping_sets" -> (Analytics.q12GroupingSets _),
     "q13_window_suite" -> (Analytics.q13WindowSuite _),
     "e16_correlation" -> (EventOps.e16Correlation _),

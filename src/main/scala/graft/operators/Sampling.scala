@@ -249,10 +249,59 @@ object Sampling {
       .orderBy("source", "rn")
   }
 
+  /** i8_token_budget — best-data-under-a-budget selection: rank the
+    * corpus by t2's quality score (desc, doc_id tiebreak) and keep the
+    * prefix whose running whitespace-token total stays ≤ `budget` — the
+    * data-selection step ("the best N tokens, not the first N") between
+    * quality scoring and packing in an LLM pipeline.
+    *
+    * Scale: the running total is the i4/i5 two-phase prefix sum, but
+    * over a VALUE order instead of a hash order — quality range-buckets
+    * (monotone: bucket ascending ⇔ quality descending) localize the
+    * window, and the driver stitches per-bucket token totals (32 longs)
+    * into broadcast offsets. Never a single-partition global window.
+    * [sql-oracle] (one global SUM OVER the same (quality DESC, doc_id)
+    * order — identical doubles on both engines make the order itself
+    * engine-portable, which t2's hash-exact quality column proves). */
+  def i8TokenBudget(s: SparkSession, dir: String,
+      budget: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = graft.operators.TextOps.qualityOver(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_words").as("n_tok"), col("quality"))
+      // monotone range-bucketing: scores land in [0, ~4+); bucket 0
+      // holds the best docs so bucket order ⇔ score order
+      .withColumn("rb",
+        (lit(31) - least(lit(31), greatest(lit(0),
+          floor(col("quality") * 8).cast("int")))).cast("long"))
+    val bucketOffset = prefixOffsetCase(
+      q.groupBy("rb").agg(sum("n_tok").as("tot")))
+    val w = Window.partitionBy("rb")
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q.withColumn("cum", bucketOffset + sum("n_tok").over(w))
+      .filter(col("cum") <= budget)
+      .select(col("doc_id"), col("n_tok"), col("quality"), col("cum"))
+      .orderBy("doc_id")
+  }
+
   private def duckWeight =
     "CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3 ELSE 1 END"
 
   val oracle: Map[String, String] = Map(
+    "i8_token_budget" ->
+      """WITH q AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    (len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '),
+        |          w -> w IN ('the','a','of','to','and'))))
+        |      * (n_chars - len(string_split(text, ' ')) + 1) * 1.0
+        |      / (len(string_split(text, ' ')) * len(string_split(text, ' '))) AS quality
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok, quality,
+        |    CAST(SUM(n_tok) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM q)
+        |SELECT doc_id, n_tok, quality, cum FROM c
+        |WHERE cum <= 10000 ORDER BY doc_id""".stripMargin,
     "i7_interleave" ->
       s"""SELECT doc_id, source,
          |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY

@@ -299,6 +299,29 @@ class Round3bOpsSpec extends SparkSpec {
     }
   }
 
+  test("i8_token_budget keeps exactly the best-quality prefix under the token budget") {
+    val budget = 10000L
+    val out = Sampling.i8TokenBudget(spark, sf, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val all = TextOps.qualityOver(graft.Tables.documents(spark, sf))
+      .select("doc_id", "n_words", "quality").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // driver recompute of the greedy prefix over (quality desc, doc_id)
+    val ordered = all.sortBy { case (id, _, q) => (-q, id) }
+    var cum = 0L
+    val expect = ordered.flatMap { case (id, n, q) =>
+      cum += n
+      if (cum <= budget) Some((id, n, q, cum)) else None
+    }.toSet
+    assert(out.nonEmpty && out.length < all.length, "budget must actually cut")
+    assert(out.toSet == expect)
+    // selection quality: every kept doc scores >= every dropped doc
+    val keptIds = out.map(_._1).toSet
+    val minKept = out.map(_._3).min
+    val maxDropped = all.filter(t => !keptIds.contains(t._1)).map(_._3).max
+    assert(minKept >= maxDropped - 1e-12)
+  }
+
   test("q12_grouping_sets equals the two marginal aggregates from one scan") {
     val out = Analytics.q12GroupingSets(spark, sf).collect()
     assert(out.map(_.getLong(2)).toSet == Set(1L, 2L))
