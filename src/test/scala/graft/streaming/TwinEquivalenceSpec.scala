@@ -314,6 +314,37 @@ class TwinEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("st14 streaming Mahalanobis catches a joint-only anomaly univariate z misses, and stays quiet on clean data") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // correlated clean regime: y tracks x, residual sd 0.1
+    val rng = new scala.util.Random(7L)
+    def clean(id: Long) = {
+      val x = rng.nextGaussian()
+      VecReading("k", id, id, Array(x, x + 0.1 * rng.nextGaussian()))
+    }
+    val warm = (1L to 200L).map(clean)
+    val tail = (201L to 400L).map(clean)
+    // the joint anomaly: each axis ~2 sigma (univariate-quiet), but the
+    // pair breaks the x~y correlation — off the ellipsoid entirely
+    val joint = VecReading("k", 999L, 999L, Array(2.0, -2.0))
+    val in = MemoryStream[VecReading]
+    val q = StreamMahalanobis.detect(in.toDS(), warmup = 200)
+      .writeStream.format("memory").queryName("twin_st14")
+      .outputMode(OutputMode.Append).start()
+    in.addData(warm); q.processAllAvailable()
+    in.addData(tail :+ joint); q.processAllAvailable()
+    q.stop()
+    val flags = spark.table("twin_st14").collect()
+      .map(r => r.getLong(1) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(flags.contains(999L), "joint anomaly must be flagged")
+    val (d2, maxZ) = flags(999L)
+    assert(d2 > 12.0 && maxZ < 3.0,
+      s"d2=$d2 maxZ=$maxZ — must be multivariate-loud but univariate-quiet")
+    // clean tail stays mostly quiet (chi2 tail at 12 is ~0.25%)
+    assert(flags.size - 1 <= 5, s"${flags.size - 1} false flags on clean data")
+  }
+
   test("fromKafka's downstream path: binary value frame -> parse (MemoryStream passthrough)") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
