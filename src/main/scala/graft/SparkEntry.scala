@@ -53,6 +53,7 @@ object SparkEntry {
     "t6_ngram_counts" -> (TextOps.t6NgramCounts _),
     "d2_dedup_ngram" -> (Dedup.d2DedupNgram _),
     "d7_containment" -> (Dedup.d7Containment _),
+    "d9_fuzzy_join" -> (Dedup.d9FuzzyJoin _),
     "d4_simhash" -> (DedupApprox.d4Simhash _),
     "d6_contamination" -> (Dedup.d6Contamination _),
     "t4_fingerprint" -> (TextOps.t4Fingerprint _),

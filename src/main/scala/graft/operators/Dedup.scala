@@ -199,6 +199,57 @@ object Dedup {
   def d7Containment(s: SparkSession, dir: String): DataFrame =
     containmentPairs(Tables.spread(s, Tables.documents(s, dir)))
 
+  /** Two-table fuzzy (Jaccard) JOIN — entity resolution across frames:
+    * match every probe text to the corpus rows sharing ≥ `minJac` of
+    * the df-capped shingle universe. Same inverted-index discipline as
+    * d2 (shingles hashed to longs pre-shuffle, corpus-side df cap
+    * bounding the candidate join at Σf²), but as a PROBE→CORPUS join:
+    * cost tracks probe-shingle hits, never |probe|×|corpus|. This is
+    * the "match these N noisy records against the big table" shape
+    * (dirty ids, truncated titles, OCR'd names) that an equi-join
+    * can't express and a cross join can't survive. */
+  def fuzzyJoin(probe: DataFrame, corpus: DataFrame, k: Int = 5,
+      minJac: Double = 0.5): DataFrame = {
+    def shingled(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs), split(col("text"), " ").as("w"))
+      .withColumn("sh", expr(
+        s"array_distinct(transform(sequence(0, greatest(size(w) - $k, 0)), i -> concat_ws(' ', slice(w, i + 1, $k))))"))
+      .select(col(idAs), explode(col("sh")).as("gs"))
+      .select(col(idAs), xxhash64(col("gs")).as("g"))
+    val cs = shingled(corpus, "b").cache()
+    val kept = cs.groupBy("g").count()
+      .filter(col("count") <= MaxShingleDf).select("g")
+    val cIdx = cs.join(kept, "g").cache()
+    val pIdx = shingled(probe, "a").join(kept, "g").cache()
+    val nb = cIdx.groupBy("b").agg(count(lit(1)).as("nb"))
+    val na = pIdx.groupBy("a").agg(count(lit(1)).as("na"))
+    val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
+    val out = pIdx.join(cIdx, "g")
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      .join(na, "a").join(nb, "b")
+      .filter(jac >= minJac)
+      .select(col("a"), col("b"), round(jac, 6).as("jac"))
+      .orderBy("a", "b")
+      .localCheckpoint(true)
+    pIdx.unpersist(); cIdx.unpersist(); cs.unpersist()
+    out
+  }
+
+  /** d9_fuzzy_join — [[fuzzyJoin]] with a deterministic dirty-probe
+    * set: the first 25 docs truncated to their leading 60% of words
+    * (the "partial/noisy record" stand-in), matched back against the
+    * full corpus. Every probe finds its original (a truncated doc's
+    * shingles are a prefix subset, so jac ≈ 0.6·len ratio ≥ 0.5) plus
+    * any of the original's near-dups. [sql-oracle]. */
+  def d9FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val probe = docs.filter(col("doc_id") < 25)
+      .select(col("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, CAST(ceil(size(split(text, ' ')) * 3 / 5) AS INT)), ' ')")
+          .as("text"))
+    fuzzyJoin(probe, docs)
+  }
+
   /** Connected components over an undirected (a, b) edge list by
     * iterative min-label propagation: every vertex starts as its own
     * label, each round takes the min over itself and its neighbors,
@@ -365,6 +416,27 @@ object Dedup {
         | SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies
         | FROM documents GROUP BY md5(text)) t
         |ORDER BY keeper""".stripMargin,
+    "d9_fuzzy_join" ->
+      s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |pw AS (SELECT doc_id, w[1:CAST(ceil(len(w) * 3 / 5) AS INT)] AS w
+         |       FROM dd WHERE doc_id < 25),
+         |ps AS (SELECT doc_id AS a, unnest(list_distinct(list_transform(
+         |        range(greatest(len(w) - 4, 1)),
+         |        i -> array_to_string(w[i + 1:i + 5], ' ')))) AS g FROM pw),
+         |cs AS (SELECT doc_id AS b, unnest(list_distinct(list_transform(
+         |        range(greatest(len(w) - 4, 1)),
+         |        i -> array_to_string(w[i + 1:i + 5], ' ')))) AS g FROM dd),
+         |kept AS (SELECT g FROM cs GROUP BY g HAVING COUNT(*) <= $MaxShingleDf),
+         |ci AS (SELECT b, cs.g FROM cs JOIN kept USING (g)),
+         |pi AS (SELECT a, ps.g FROM ps JOIN kept USING (g)),
+         |nb AS (SELECT b, COUNT(*) AS nb FROM ci GROUP BY b),
+         |na AS (SELECT a, COUNT(*) AS na FROM pi GROUP BY a),
+         |pr AS (SELECT a, b, COUNT(*) AS common FROM pi JOIN ci USING (g)
+         |       GROUP BY a, b)
+         |SELECT a, b, ROUND(common * 1.0 / (na + nb - common), 6) AS jac
+         |FROM pr JOIN na USING (a) JOIN nb USING (b)
+         |WHERE common * 1.0 / (na + nb - common) >= 0.5
+         |ORDER BY a, b""".stripMargin,
     "d7_containment" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |s AS (SELECT doc_id, list_distinct(list_transform(

@@ -322,6 +322,36 @@ class Round3bOpsSpec extends SparkSpec {
     assert(minKept >= maxDropped - 1e-12)
   }
 
+  test("d9_fuzzy_join resolves truncated probes to their originals and matches a driver recompute") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length <= 5) Set(w.mkString(" "))
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val corpusSh = docs.map { case (id, t) => id -> shingles(t) }.toMap
+    val df = corpusSh.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val keptC = corpusSh.map { case (id, s) => id -> s.filter(df(_) <= Dedup.MaxShingleDf) }
+    val probeSh = docs.filter(_._1 < 25).map { case (id, t) =>
+      val w = t.split(" ")
+      val cut = math.ceil(w.length * 3 / 5.0).toInt
+      id -> shingles(w.take(cut).mkString(" ")).filter(df(_) <= Dedup.MaxShingleDf)
+    }.toMap
+    val expect = (for {
+      (a, sa) <- probeSh.toSeq; (b, sb) <- keptC.toSeq
+      common = (sa & sb).size
+      if common > 0 && common.toDouble / (sa.size + sb.size - common) >= 0.5
+    } yield (a, b)).toSet
+    val got = Dedup.d9FuzzyJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect, s"got ${got.size} expected ${expect.size}")
+    // the entity-resolution contract: almost every truncated probe
+    // resolves to its own original (shingle-prefix subset ⇒ jac ≈ 0.6)
+    val selfHits = (0L until 25L).count(p => got.contains((p, p)))
+    assert(selfHits >= 22, s"only $selfHits/25 probes found their originals")
+  }
+
   test("q12_grouping_sets equals the two marginal aggregates from one scan") {
     val out = Analytics.q12GroupingSets(spark, sf).collect()
     assert(out.map(_.getLong(2)).toSet == Set(1L, 2L))
