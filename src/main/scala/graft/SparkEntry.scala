@@ -82,6 +82,7 @@ object SparkEntry {
     "q11_approx_distinct" -> (Analytics.q11ApproxDistinct _),
     "e14_approx_quantile" -> (Analytics.e14ApproxQuantile _),
     "t11_heavy_hitters" -> (TextOps.t11HeavyHitters _),
+    "t12_lm_quality" -> (TextOps.t12LmQuality _),
     "d3_minhash_lsh" -> (DedupApprox.d3MinhashLsh _),
     "s2_ann_lsh" -> (Similarity.s2AnnLsh _),
     "t1_langid" -> (TextOps.t1Langid _),

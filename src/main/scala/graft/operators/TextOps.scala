@@ -307,6 +307,35 @@ object TextOps {
   def t10Repetition(s: SparkSession, dir: String): DataFrame =
     repetitionOver(Tables.documents(s, dir))
 
+  /** t12_lm_quality — unigram-LM cross-entropy scoring: fit the corpus's
+    * own unigram distribution (one word-count aggregate), then score
+    * every doc by the mean negative log-probability of its words — the
+    * CCNet-style perplexity filter that separates fluent text (common
+    * words ⇒ low cross-entropy) from gibberish and word-salad (rare
+    * words ⇒ high). The training-data pipeline sits this between t2's
+    * surface heuristics and model-based filters.
+    *
+    * Scale: the LM "fit" is a map-side-combined word count; scoring is
+    * one shuffle equi-join of the exploded corpus against the frequency
+    * table on the word key (both sides hash-partitioned — at web-corpus
+    * vocabulary there is no broadcast side) plus a per-doc re-agg. Cost
+    * tracks token count, the same class as t3/t6. [rows-only]: `ln` is
+    * libm-dependent and not bit-portable across engines; the spec pins
+    * a driver-side recompute at 1e-9 and the fluency ordering. */
+  def t12LmQuality(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val counts = words.groupBy("word").count()
+    val total = counts.agg(sum("count")).head.getLong(0)
+    val scored = words.join(counts, "word")
+      .withColumn("nlp", -log(col("count") * lit(1.0) / lit(total.toDouble)))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        round(sum(col("nlp")) / count(lit(1)), 6).as("xent"))
+      .orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
     "t1_langid" -> {
       // one scored row per (doc, lang), embedded marker lists verbatim;

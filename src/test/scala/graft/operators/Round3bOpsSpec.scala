@@ -352,6 +352,30 @@ class Round3bOpsSpec extends SparkSpec {
     assert(selfHits >= 22, s"only $selfHits/25 probes found their originals")
   }
 
+  test("t12_lm_quality matches a driver recompute and ranks rare-word docs as higher-entropy") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val counts = docs.flatMap(_._2).groupBy(identity).map { case (w, o) => w -> o.length.toLong }
+    val total = counts.values.sum.toDouble
+    val expect = docs.map { case (id, ws) =>
+      id -> math.rint(ws.map(w => -math.log(counts(w) / total)).sum / ws.length * 1e6) / 1e6
+    }.toMap
+    val got = TextOps.t12LmQuality(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, (n, xent)) =>
+      assert(n == docs.find(_._1 == id).get._2.length)
+      assert(math.abs(xent - expect(id)) < 1e-9, s"doc $id: $xent vs ${expect(id)}")
+    }
+    // fluency ordering: docs containing 'dup' (the corpus's rarest
+    // planted token) must average higher cross-entropy than the corpus
+    val dup = docs.filter(_._2.contains("dup")).map(_._1).toSet
+    assert(dup.nonEmpty)
+    val dupAvg = dup.toSeq.map(got(_)._2).sum / dup.size
+    val allAvg = got.values.map(_._2).sum / got.size
+    assert(dupAvg > allAvg)
+  }
+
   test("q12_grouping_sets equals the two marginal aggregates from one scan") {
     val out = Analytics.q12GroupingSets(spark, sf).collect()
     assert(out.map(_.getLong(2)).toSet == Set(1L, 2L))
