@@ -107,15 +107,10 @@ object Dedup {
     * width, `minJac` the emission threshold. */
   def ngramJaccard(docs: DataFrame, k: Int = 5,
       minJac: Double = 0.5): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .withColumn("sh", expr(
-        s"array_distinct(transform(sequence(0, greatest(size(w) - $k, 0)), i -> concat_ws(' ', slice(w, i + 1, $k))))"))
-      .select(col("doc_id"), explode(col("sh")).as("gs"))
-      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
-      // cached: feeds both the doc-frequency count and the index join —
-      // uncached, the shingle transform+explode would run twice
-      .cache()
+    // typed-flatMap shingle index (Shingles.index: ~6× the HOF form);
+    // cached because it feeds both the doc-frequency count and the
+    // index join — uncached, the shingling would run twice
+    val exploded = Shingles.index(docs, k).cache()
     // doc-frequency cap: one map-side-combined agg, broadcast-free
     // semi-join back (the kept-shingle set shuffles with the index)
     val kept = exploded.groupBy("g").count()
@@ -165,13 +160,7 @@ object Dedup {
     * pairs from the equi-join — never all-pairs. */
   def containmentPairs(docs: DataFrame, k: Int = 5,
       minCover: Double = 0.8): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .withColumn("sh", expr(
-        s"array_distinct(transform(sequence(0, greatest(size(w) - $k, 0)), i -> concat_ws(' ', slice(w, i + 1, $k))))"))
-      .select(col("doc_id"), explode(col("sh")).as("gs"))
-      .select(col("doc_id"), xxhash64(col("gs")).as("g"))
-      .cache()
+    val exploded = Shingles.index(docs, k).cache()
     val kept = exploded.groupBy("g").count()
       .filter(col("count") <= MaxShingleDf).select("g")
     val idx = exploded.join(kept, "g").cache()
@@ -210,12 +199,8 @@ object Dedup {
     * can't express and a cross join can't survive. */
   def fuzzyJoin(probe: DataFrame, corpus: DataFrame, k: Int = 5,
       minJac: Double = 0.5): DataFrame = {
-    def shingled(df: DataFrame, idAs: String) = df
-      .select(col("doc_id").as(idAs), split(col("text"), " ").as("w"))
-      .withColumn("sh", expr(
-        s"array_distinct(transform(sequence(0, greatest(size(w) - $k, 0)), i -> concat_ws(' ', slice(w, i + 1, $k))))"))
-      .select(col(idAs), explode(col("sh")).as("gs"))
-      .select(col(idAs), xxhash64(col("gs")).as("g"))
+    def shingled(df: DataFrame, idAs: String) =
+      Shingles.index(df, k).withColumnRenamed("doc_id", idAs)
     val cs = shingled(corpus, "b").cache()
     val kept = cs.groupBy("g").count()
       .filter(col("count") <= MaxShingleDf).select("g")
