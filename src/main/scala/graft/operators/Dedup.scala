@@ -312,21 +312,20 @@ object Dedup {
     * Generic core: any (doc_id, text) frame + any boolean test-side
     * predicate (hash split, source = benchmark name, date cut, ...). */
   def contamination(docs: DataFrame, isTest: Column, k: Int = 8): DataFrame = {
-    val base = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"), isTest.as("is_test"))
-      .withColumn("sh", expr(
-        s"array_distinct(transform(sequence(0, greatest(size(w) - $k, 0)), i -> xxhash64(concat_ws(' ', slice(w, i + 1, $k)))))"))
-      .select(col("doc_id"), col("sh"), col("is_test"))
-    // cached: the exploded test-side index (10% of the corpus, two
-    // longs per row) feeds both the per-doc shingle count and the
-    // membership probe — uncached, the md5-split-shingle pipeline would
-    // rescan and recompute twice. The train side streams through its
-    // single scan uncached (it's 90% of the corpus — recomputing is
-    // cheaper than materializing at scale).
+    // typed-flatMap shingle index with the split flag carried through
+    // (Shingles.indexFlagged — same 6× over the interpreted HOF form)
+    val base = Shingles.indexFlagged(
+      docs.select(col("doc_id"), col("text"), isTest), k)
+    // cached: the test-side index (10% of the corpus, two longs per
+    // row) feeds both the per-doc shingle count and the membership
+    // probe — uncached, the split-shingle pipeline would rescan and
+    // recompute twice. The train side streams through its single scan
+    // uncached (it's 90% of the corpus — recomputing is cheaper than
+    // materializing at scale).
     val testSh = base.filter(col("is_test"))
-      .select(col("doc_id"), explode(col("sh")).as("g")).cache()
+      .select(col("doc_id"), col("g")).cache()
     val trainSh = base.filter(!col("is_test"))
-      .select(explode(col("sh")).as("g")).distinct()
+      .select(col("g")).distinct()
     val counts = testSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val hits = testSh.join(trainSh, "g")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))

@@ -63,4 +63,35 @@ object Shingles {
       }
       .toDF("doc_id", "g")
   }
+
+  /** [[index]] carrying a per-doc boolean through the flatMap (the
+    * d6 train/test split) — avoids re-joining the flag onto the
+    * exploded index. Input frame must be (doc_id, text, flag). */
+  def indexFlagged(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.as[(Long, String, Boolean)]
+      .flatMap { case (id, text, flag) =>
+        val w = text.split(" ")
+        val out = new scala.collection.mutable.HashSet[Long]
+        if (w.length <= k) out += fnv1a64(w.mkString(" "))
+        else {
+          val sb = new java.lang.StringBuilder(16 * k)
+          var i = 0
+          while (i + k <= w.length) {
+            sb.setLength(0)
+            var j = i
+            while (j < i + k) {
+              if (j > i) sb.append(' ')
+              sb.append(w(j))
+              j += 1
+            }
+            out += fnv1a64(sb.toString)
+            i += 1
+          }
+        }
+        out.iterator.map(g => (id, g, flag))
+      }
+      .toDF("doc_id", "g", "is_test")
+  }
 }

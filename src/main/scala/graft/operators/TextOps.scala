@@ -77,10 +77,19 @@ object TextOps {
     * all-to-one heap (k bounded) — at 100 TB the agg output (distinct
     * bigrams) is the only thing that shuffles. */
   /** All word bigrams of a (…, text) frame, one row each. */
-  private def bigramsOf(docs: DataFrame): DataFrame =
-    docs.select(explode(expr(
-      "transform(sequence(0, greatest(size(split(text, ' ')) - 2, 0)), " +
-        "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))")).as("bigram"))
+  /** All bigram occurrences (not distinct) as a typed flatMap — the
+    * array-HOF transform/explode form runs interpreted and was ~6×
+    * slower (graft.IdxBench's shape measurement; same fix as
+    * Shingles.index). A doc of n words emits max(n−1, 1) bigrams,
+    * mirroring the `greatest(size − 2, 0)` convention of the t6
+    * oracle. */
+  private def bigramsOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select("text").as[String]
+      .flatMap(_.split(" ").iterator.sliding(2).map(_.mkString(" ")))
+      .toDF("bigram")
+  }
 
   def t6NgramCounts(s: SparkSession, dir: String): DataFrame = {
     bigramsOf(Tables.spread(s, Tables.documents(s, dir)))
