@@ -67,14 +67,21 @@ object AnomalyML {
     val bc = s.sparkContext.broadcast(forests)
     val scoreUdf = udf((t: String, v: Double) =>
       bc.value.get(t).map(_.score(Array(v))).getOrElse(0.5))
+    // cached: the forest-scoring UDF pass is the dominant cost and
+    // feeds BOTH the contamination-quantile cut and the flag join —
+    // uncached it runs twice (the a3 lesson, ADVICE r1)
     val scored = ev.withColumn("score", scoreUdf(col("event_type"), col("value")))
+      .cache()
     val cuts = scored.groupBy("event_type")
       .agg(expr("percentile(score, 0.95)").as("if_cut"))
-    scored.join(broadcast(cuts), "event_type")
+    val out = scored.join(broadcast(cuts), "event_type")
       .filter(col("score") > col("if_cut"))
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("score"), 6).as("score"))
       .orderBy("event_id")
+      .localCheckpoint(true)
+    scored.unpersist()
+    out
   }
 
   /** a3_kmeans_outlier — KMeans distance-to-centroid outliers over the
