@@ -78,6 +78,7 @@ object SparkEntry {
     "q12_grouping_sets" -> (Analytics.q12GroupingSets _),
     "q13_window_suite" -> (Analytics.q13WindowSuite _),
     "e16_correlation" -> (EventOps.e16Correlation _),
+    "e17_ensemble" -> (EventOps.e17Ensemble _),
     // rows-only ops (hash/ML-algorithm-defined; spec-tested, no SQL oracle)
     "q11_approx_distinct" -> (Analytics.q11ApproxDistinct _),
     "e14_approx_quantile" -> (Analytics.e14ApproxQuantile _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "a4_cusum_drift" -> (AnomalyML.a4CusumDrift _),
     "s3_ivf" -> (Similarity.s3Ivf _),
     "s4_ann_pq" -> (Similarity.s4AnnPq _),
+    "s6_knn_graph" -> ((s, d) => Similarity.s6KnnGraph(s, d)),
     "m1_binary_meta" -> (Multimodal.m1BinaryMeta _),
     "m2_feature_stub" -> ((s, d) => Multimodal.m2FeatureStub(s, d)),
     "m3_frame_sample" -> ((s, d) => Multimodal.m3FrameSample(s, d)),

@@ -294,7 +294,54 @@ object EventOps {
       .orderBy("ta", "tb")
   }
 
+  /** e17_ensemble — consensus outliers: an event flags only when ≥ 2 of
+    * the three statistical detectors (e5 z-score, e6 median/MAD, e7
+    * IQR fence) agree. Single-detector flags are threshold artifacts as
+    * often as anomalies; the vote is the cheapest variance-reduction an
+    * anomaly pipeline has (the reference runs exactly one detector —
+    * this is the first capability a production user bolts on).
+    *
+    * Scale: each detector is the e5-shape (one map-side-combined stats
+    * agg broadcast over the fact scan); the vote is a groupBy over the
+    * UNION of their (tiny) flag sets, joined back to the fact on
+    * event_id. Flag-set size, not event volume, drives the extra cost.
+    * [sql-oracle] (the three detectors' oracle predicates unioned
+    * verbatim). */
+  def e17Ensemble(s: SparkSession, dir: String): DataFrame = {
+    val votes = e5Zscore(s, dir).select("event_id")
+      .union(e6Robust(s, dir).select("event_id"))
+      .union(e7Iqr(s, dir).select("event_id"))
+      .groupBy("event_id").agg(count(lit(1)).as("votes"))
+      .filter(col("votes") >= 2)
+    Tables.events(s, dir).select("event_id", "event_type", "value")
+      .join(votes, "event_id")
+      .orderBy("event_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "e17_ensemble" ->
+      s"""WITH $zStatsCte,
+         |z5 AS (SELECT e.event_id FROM events e JOIN st USING(event_type)
+         |       WHERE ABS((e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))) > 3),
+         |med AS (SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+         |        FROM events GROUP BY event_type),
+         |dd AS (SELECT e.event_id, e.event_type, e.value, med,
+         |         ABS(e.value - med) AS ad FROM events e JOIN med USING(event_type)),
+         |md AS (SELECT event_type, QUANTILE_CONT(ad, 0.5) AS mad FROM dd GROUP BY event_type),
+         |r6 AS (SELECT dd.event_id FROM dd JOIN md USING(event_type)
+         |       WHERE ABS((dd.value - dd.med) / (1.4826 * mad)) > 3.5),
+         |q7 AS (SELECT event_type,
+         |         QUANTILE_CONT(value, 0.25) AS q1, QUANTILE_CONT(value, 0.75) AS q3
+         |       FROM events GROUP BY event_type),
+         |f7 AS (SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q7),
+         |i7 AS (SELECT e.event_id FROM events e JOIN f7 USING(event_type)
+         |       WHERE e.value < lo OR e.value > hi),
+         |v AS (SELECT event_id, COUNT(*) AS votes
+         |      FROM (SELECT * FROM z5 UNION ALL SELECT * FROM r6
+         |            UNION ALL SELECT * FROM i7) u
+         |      GROUP BY event_id HAVING COUNT(*) >= 2)
+         |SELECT e.event_id, e.event_type, e.value, votes
+         |FROM events e JOIN v USING(event_id) ORDER BY e.event_id""".stripMargin,
     "e16_correlation" ->
       """WITH bym AS (SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS m,
         |  event_type, COUNT(*) AS nm,

@@ -134,6 +134,45 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** s6_knn_graph — the all-vectors kNN graph: every corpus vector's
+    * approximate top-k cosine neighbors (not a small probe set like
+    * s1–s5 — the output is the GRAPH that kNN-dedup, label
+    * propagation, and cluster discovery consume). Candidates come from
+    * the same 16×4-bit hyperplane tables as s2: two vectors are
+    * compared only when some table buckets them together, so each
+    * vector scans ~tables × bucket-size candidates instead of the
+    * corpus. Exact cosine + TopKPerGroup finish the job.
+    *
+    * Scale: candidate volume is Σ_buckets size² per table — the
+    * bits-per-table dial holds bucket size ≈ n/2^bits constant-ish as
+    * the corpus grows (s2's scaladoc math), so the graph build stays
+    * near-linear; the per-vector top-k shuffles ≤ k rows per partition
+    * through the bounded heaps. [rows-only]: spec measures mean recall
+    * vs a driver-side exact graph. */
+  def s6KnnGraph(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import s.implicits._
+    val e = Tables.spread(s, Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("embedding"))
+    val b = e.as[(Long, Seq[Float])]
+      .flatMap { case (id, v) => buckets(v).map { case (t, bk) => (id, t, bk) } }
+      .toDF("id", "t", "bk")
+    val cand = b.select(col("id").as("qid"), col("t"), col("bk"))
+      .join(b.select(col("id").as("cid"), col("t"), col("bk")), Seq("t", "bk"))
+      .filter(col("qid") =!= col("cid"))
+      .select("qid", "cid").distinct()
+    val q = e.select(col("vec_id").as("qid"), col("embedding").as("eq"),
+      sqrt(VectorOps.normSq(col("embedding"))).as("qn"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ec"),
+      sqrt(VectorOps.normSq(col("embedding"))).as("cn"))
+    val cos = VectorOps.dot(col("eq"), col("ec")) / (col("qn") * col("cn"))
+    graft.plans.TopKPerGroup.perKey(
+        cand.join(q, "qid").join(c, "cid").withColumn("cos", cos),
+        Seq(col("qid")), Seq(col("cos").desc, col("cid")), k)
+      .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
+        col("rank").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** s3_ivf — IVF (inverted-file) ANN: KMeans partitions the corpus
     * into nlist=16 cells; each query probes only its nprobe=6 nearest
     * cells, so the scanned fraction is ~nprobe/nlist of the corpus

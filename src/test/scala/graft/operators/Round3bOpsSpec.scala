@@ -376,6 +376,65 @@ class Round3bOpsSpec extends SparkSpec {
     assert(dupAvg > allAvg)
   }
 
+  test("e17_ensemble flags exactly the events at least two detectors agree on") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id").collect().map(_.getLong(0)).toSet
+    val z = ids(EventOps.e5Zscore(spark, sf))
+    val r = ids(EventOps.e6Robust(spark, sf))
+    val i = ids(EventOps.e7Iqr(spark, sf))
+    val expect = (z ++ r ++ i).filter { id =>
+      Seq(z(id), r(id), i(id)).count(identity) >= 2
+    }
+    val got = EventOps.e17Ensemble(spark, sf).collect()
+      .map(rr => rr.getLong(0) -> rr.getLong(3)).toMap
+    assert(got.keySet == expect)
+    got.foreach { case (id, votes) =>
+      assert(votes == Seq(z(id), r(id), i(id)).count(identity) && votes >= 2)
+    }
+    // the vote does real filtering: single-detector flags exist
+    assert(expect.nonEmpty && expect.size < (z ++ r ++ i).size)
+  }
+
+  test("s6_knn_graph covers every vector with well-formed ranks at useful recall vs the exact graph") {
+    val k = 5
+    val out = Similarity.s6KnnGraph(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val emb = graft.Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byQ = out.groupBy(_._1)
+    // well-formed: dense ranks, non-increasing cos, no self-edges
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length))
+      val cs = sorted.map(_._3)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(g.forall(t => t._2 != t._1))
+    }
+    // bucketing yields neighbors for essentially every vector, and the
+    // graph hits useful recall vs the exact top-k (weak-similarity
+    // corpus: s2's 16x4-bit tables give ~0.85 expected per-pair recall)
+    assert(byQ.size >= emb.length * 95 / 100)
+    val recalls = emb.map { case (qid, qv) =>
+      val exact = emb.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(k).map(_._1).toSet
+      val got = byQ.getOrElse(qid, Array.empty).map(_._2).toSet
+      (exact & got).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.55, f"mean kNN-graph recall $mean%.3f below floor")
+  }
+
   test("q12_grouping_sets equals the two marginal aggregates from one scan") {
     val out = Analytics.q12GroupingSets(spark, sf).collect()
     assert(out.map(_.getLong(2)).toSet == Set(1L, 2L))
