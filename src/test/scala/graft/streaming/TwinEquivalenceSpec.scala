@@ -345,6 +345,37 @@ class TwinEquivalenceSpec extends SparkSpec {
     assert(flags.size - 1 <= 5, s"${flags.size - 1} false flags on clean data")
   }
 
+  test("st15 stream-static decontamination == d6 batch audit on a replayed test split") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // the same hash split d6 binds: doc bucket 0 of 10 is the test side
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:contam".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 10L
+    }
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (test, train) = docs.partition(d => bucket(d._1) == 0)
+    val trainSh = graft.operators.Shingles
+      .index(train.toSeq.toDF("doc_id", "text"), 8).select("g").distinct()
+    val in = MemoryStream[(Long, String)]
+    val q = StreamContamination.probe(in.toDF().toDF("doc_id", "text"), trainSh)
+      .writeStream.format("memory").queryName("twin_st15")
+      .outputMode(OutputMode.Update).start()
+    test.grouped(test.length / 3 + 1).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("twin_st15").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = graft.operators.Dedup.d6Contamination(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream=${streamed.size} batch=${batch.size}")
+  }
+
   test("fromKafka's downstream path: binary value frame -> parse (MemoryStream passthrough)") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
