@@ -33,33 +33,43 @@ object Shingles {
     h
   }
 
-  /** Distinct k-word-shingle hashes per doc: (doc_id, g). Docs shorter
-    * than k words yield their whole text as one shingle (the
-    * `greatest(size - k, 0)` convention the DuckDB oracles mirror). */
+  /** The distinct k-word-shingle hash set of ONE document — the single
+    * definition of the shingling convention (docs shorter than k words
+    * yield their whole text as one shingle; the `greatest(size - k, 0)`
+    * convention the DuckDB oracles mirror). [[index]], [[indexFlagged]]
+    * and the streaming d6-twin probe (st15) all call this, so the
+    * convention cannot silently diverge between the batch and stream
+    * paths. */
+  def docShingleSet(text: String, k: Int): scala.collection.mutable.HashSet[Long] = {
+    val w = text.split(" ")
+    val out = new scala.collection.mutable.HashSet[Long]
+    if (w.length <= k) out += fnv1a64(w.mkString(" "))
+    else {
+      val sb = new java.lang.StringBuilder(16 * k)
+      var i = 0
+      while (i + k <= w.length) {
+        sb.setLength(0)
+        var j = i
+        while (j < i + k) {
+          if (j > i) sb.append(' ')
+          sb.append(w(j))
+          j += 1
+        }
+        out += fnv1a64(sb.toString)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Distinct k-word-shingle hashes per doc: (doc_id, g), via
+    * [[docShingleSet]]. */
   def index(docs: DataFrame, k: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs.select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, text) =>
-        val w = text.split(" ")
-        val out = new scala.collection.mutable.HashSet[Long]
-        if (w.length <= k) out += fnv1a64(w.mkString(" "))
-        else {
-          val sb = new java.lang.StringBuilder(16 * k)
-          var i = 0
-          while (i + k <= w.length) {
-            sb.setLength(0)
-            var j = i
-            while (j < i + k) {
-              if (j > i) sb.append(' ')
-              sb.append(w(j))
-              j += 1
-            }
-            out += fnv1a64(sb.toString)
-            i += 1
-          }
-        }
-        out.iterator.map(g => (id, g))
+        docShingleSet(text, k).iterator.map(g => (id, g))
       }
       .toDF("doc_id", "g")
   }
@@ -72,25 +82,7 @@ object Shingles {
     import s.implicits._
     docs.as[(Long, String, Boolean)]
       .flatMap { case (id, text, flag) =>
-        val w = text.split(" ")
-        val out = new scala.collection.mutable.HashSet[Long]
-        if (w.length <= k) out += fnv1a64(w.mkString(" "))
-        else {
-          val sb = new java.lang.StringBuilder(16 * k)
-          var i = 0
-          while (i + k <= w.length) {
-            sb.setLength(0)
-            var j = i
-            while (j < i + k) {
-              if (j > i) sb.append(' ')
-              sb.append(w(j))
-              j += 1
-            }
-            out += fnv1a64(sb.toString)
-            i += 1
-          }
-        }
-        out.iterator.map(g => (id, g, flag))
+        docShingleSet(text, k).iterator.map(g => (id, g, flag))
       }
       .toDF("doc_id", "g", "is_test")
   }

@@ -84,20 +84,32 @@ object Similarity {
     * 16 tables gives ~0.85 expected recall (spec-asserted vs s1). At
     * 100 TB, scale bits ≈ log2(corpus / target_bucket_size) and tables
     * to the recall target — candidates per query stay ~tables ×
-    * bucket_size regardless of corpus size. */
+    * bucket_size regardless of corpus size ([[adaptiveBits]] turns
+    * that dial from a cheap corpus count; [[s6KnnGraph]] uses it). */
   private val Tables8 = 16
   private val Bits = 4
+  private[graft] val MaxBits = 12
   private val Dim = 64
   private lazy val planes: Array[Array[Array[Double]]] = {
     val rng = new scala.util.Random(99L)
-    Array.fill(Tables8, Bits, Dim)(rng.nextGaussian())
+    Array.fill(Tables8, MaxBits, Dim)(rng.nextGaussian())
   }
 
-  private[graft] def buckets(v: Seq[Float]): Seq[(Int, Int)] =
+  /** bits ≈ log2(n / targetBucket), floored at the fixed-dial 4 and
+    * capped by the plane budget — keeps expected bucket size (and so
+    * Σ size² candidate volume per table ≈ n × targetBucket) bounded as
+    * the corpus grows instead of letting buckets scale with n. */
+  private[graft] def adaptiveBits(n: Long, targetBucket: Int): Int = {
+    val needed = math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(MaxBits, math.max(Bits, needed))
+  }
+
+  private[graft] def buckets(v: Seq[Float], bits: Int = Bits): Seq[(Int, Int)] =
     (0 until Tables8).map { t =>
       var bucket = 0
       var b = 0
-      while (b < Bits) {
+      while (b < bits) {
         var dp = 0.0
         var i = 0
         val p = planes(t)(b)
@@ -143,18 +155,33 @@ object Similarity {
     * vector scans ~tables × bucket-size candidates instead of the
     * corpus. Exact cosine + TopKPerGroup finish the job.
     *
-    * Scale: candidate volume is Σ_buckets size² per table — the
-    * bits-per-table dial holds bucket size ≈ n/2^bits constant-ish as
-    * the corpus grows (s2's scaladoc math), so the graph build stays
-    * near-linear; the per-vector top-k shuffles ≤ k rows per partition
-    * through the bounded heaps. [rows-only]: spec measures mean recall
-    * vs a driver-side exact graph. */
-  def s6KnnGraph(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import s.implicits._
+    * Scale: candidate volume is Σ_buckets size² per table — and the
+    * bits-per-table dial is TURNED, not just documented: bits =
+    * [[adaptiveBits]](count, targetBucket), so expected bucket size
+    * stays ≈ targetBucket and per-table candidate volume ≈
+    * n × targetBucket (near-linear) as the corpus grows. The count()
+    * driving the dial is one cheap metadata-ish job over the already-
+    * projected frame. The per-vector top-k shuffles ≤ k rows per
+    * partition through the bounded heaps. [rows-only]: spec measures
+    * mean recall vs a driver-side exact graph; PlanAuditSpec guards
+    * the candidate volume against quadratic collapse. */
+  def s6KnnGraph(s: SparkSession, dir: String, k: Int = 5,
+      targetBucket: Int = 64): DataFrame = {
     val e = Tables.spread(s, Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding"))
+    knnGraph(e, k, targetBucket)
+  }
+
+  /** Generic core of [[s6KnnGraph]] over any (vec_id, embedding)
+    * frame. */
+  def knnGraph(vectors: DataFrame, k: Int = 5,
+      targetBucket: Int = 64): DataFrame = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val e = vectors.select(col("vec_id"), col("embedding"))
+    val bits = adaptiveBits(e.count(), targetBucket)
     val b = e.as[(Long, Seq[Float])]
-      .flatMap { case (id, v) => buckets(v).map { case (t, bk) => (id, t, bk) } }
+      .flatMap { case (id, v) => buckets(v, bits).map { case (t, bk) => (id, t, bk) } }
       .toDF("id", "t", "bk")
     val cand = b.select(col("id").as("qid"), col("t"), col("bk"))
       .join(b.select(col("id").as("cid"), col("t"), col("bk")), Seq("t", "bk"))
@@ -171,6 +198,25 @@ object Similarity {
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
         col("rank").as("rn"))
       .orderBy("qid", "rn")
+  }
+
+  /** Distinct candidate-pair count of [[knnGraph]]'s bucketing stage
+    * (before exact scoring) — the quantity the near-linear scale claim
+    * is about; exposed for the PlanAudit quadratic-candidate guard. */
+  private[graft] def knnCandidateCount(vectors: DataFrame,
+      targetBucket: Int = 64): Long = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val e = vectors.select(col("vec_id"), col("embedding"))
+    val bits = adaptiveBits(e.count(), targetBucket)
+    val b = e.as[(Long, Seq[Float])]
+      .flatMap { case (id, v) => buckets(v, bits).map { case (t, bk) => (id, t, bk) } }
+      .toDF("id", "t", "bk")
+    b.select(col("id").as("qid"), col("t"), col("bk"))
+      .join(b.select(col("id").as("cid"), col("t"), col("bk")), Seq("t", "bk"))
+      .filter(col("qid") < col("cid"))
+      .select("qid", "cid").distinct()
+      .count()
   }
 
   /** s3_ivf — IVF (inverted-file) ANN: KMeans partitions the corpus

@@ -34,26 +34,12 @@ object StreamContamination {
       k: Int = 8): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // the shingling convention comes from the SHARED builder
+    // (Shingles.docShingleSet) — the batch twin d6 uses the same one,
+    // so the st15 == d6 row-for-row equivalence can't silently break
     val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val w = text.split(" ")
-        val out = new scala.collection.mutable.HashSet[Long]
-        if (w.length <= k) out += Shingles.fnv1a64(w.mkString(" "))
-        else {
-          val sb = new java.lang.StringBuilder(16 * k)
-          var i = 0
-          while (i + k <= w.length) {
-            sb.setLength(0)
-            var j = i
-            while (j < i + k) {
-              if (j > i) sb.append(' ')
-              sb.append(w(j))
-              j += 1
-            }
-            out += Shingles.fnv1a64(sb.toString)
-            i += 1
-          }
-        }
+        val out = Shingles.docShingleSet(text, k)
         val n = out.size
         out.iterator.map(g => (id, g, n))
       }

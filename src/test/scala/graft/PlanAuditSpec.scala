@@ -66,4 +66,82 @@ class PlanAuditSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec])
     assert(hasBroadcast, "q3's dimension joins must be broadcast, not shuffled")
   }
+
+  // ---- quadratic-candidate guards ----------------------------------
+  // The CartesianProduct check above cannot see a DEGENERATE equi-join
+  // key (a bucketed join whose buckets collapse to a handful of values
+  // is all-pairs wearing an equi-join costume — exactly how round 3's
+  // m4 slipped through at 97.8% of all possible pairs). These guards
+  // measure the actual candidate-pair volume of every bucketed
+  // dedup/ANN operator and fail if it drifts toward n²/2.
+
+  /** Distinct shingle-sharing candidate pairs of the d2/d7 inverted
+    * index (df-capped, k=5) — the volume their Σf² bound is about. */
+  private def shingleCandidates(docs: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    val exploded = operators.Shingles.index(docs, 5)
+    val kept = exploded.join(
+      exploded.groupBy("g").count()
+        .filter(col("count") <= operators.Dedup.MaxShingleDf).select("g"),
+      "g")
+    kept.select(col("doc_id").as("a"), col("g"))
+      .join(kept.select(col("doc_id").as("b"), col("g")), "g")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct().count()
+  }
+
+  test("bucketed dedup candidates stay far below all-pairs on the real corpus (d2/d7, m4)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val allPairs = n * (n - 1) / 2
+    val shingleCand = shingleCandidates(docs.select("doc_id", "text"))
+    assert(shingleCand < allPairs * 5 / 100,
+      s"d2/d7 shingle index degenerated: $shingleCand of $allPairs pairs")
+    val percepCand = operators.Multimodal.percepCandidateCount(
+      docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
+    assert(percepCand < allPairs * 5 / 100,
+      s"m4 perceptual banding degenerated: $percepCand of $allPairs pairs")
+  }
+
+  test("d9's probe→corpus fuzzy join candidates stay far below |probe|×|corpus|") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val probe = docs.filter(col("doc_id") < 25)
+      .select(col("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, CAST(ceil(size(split(text, ' ')) * 3 / 5) AS INT)), ' ')")
+          .as("text"))
+    val cs = operators.Shingles.index(docs, 5)
+    val kept = cs.groupBy("g").count()
+      .filter(col("count") <= operators.Dedup.MaxShingleDf).select("g")
+    val cand = operators.Shingles.index(probe, 5).join(kept, "g")
+      .select(col("doc_id").as("a"), col("g"))
+      .join(cs.join(kept, "g").select(col("doc_id").as("b"), col("g")), "g")
+      .select("a", "b").distinct().count()
+    val cross = probe.count() * docs.count()
+    assert(cand < cross * 5 / 100,
+      s"d9 candidate volume degenerated: $cand of $cross probe×corpus pairs")
+  }
+
+  test("s6's adaptive LSH keeps kNN-graph candidates near-linear as the corpus grows") {
+    import spark.implicits._
+    // synthetic corpus big enough that the adaptive dial must actually
+    // turn (n/targetBucket = 64 ≫ 2^4): with the old fixed 4 bits the
+    // expected candidate volume is ~64% of all pairs (~5.4M here, over
+    // the Tables×n×targetBucket bound); adaptiveBits(4096, 64) = 6
+    // holds it near-linear
+    val n = 4096
+    val dim = 64
+    val rng = new scala.util.Random(42L)
+    val corpus = Seq.tabulate(n)(i =>
+        (i.toLong, Array.fill(dim)(rng.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val cand = operators.Similarity.knnCandidateCount(corpus, targetBucket = 64)
+    val nearLinearBound = 16L * n * 64 // tables × n × targetBucket
+    val allPairs = n.toLong * (n - 1) / 2
+    assert(cand <= nearLinearBound,
+      s"s6 candidate volume $cand exceeds the near-linear bound $nearLinearBound")
+    assert(cand < allPairs / 2,
+      s"s6 candidate volume $cand is within 2× of all-pairs ($allPairs)")
+  }
 }

@@ -215,22 +215,40 @@ class Round3bOpsSpec extends SparkSpec {
 
   test("m4_percep_dedup matches a driver recompute; identical payloads pair at l1=0, perturbed ones survive") {
     // corpus binding equals the driver-side recompute of the same
-    // sig-bucket + L1-verify pipeline
+    // banded-signature + L1-verify pipeline (4×16-bit bands over the
+    // 64-bit dHash, MaxBucket df-cap, candidates = share any band)
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
     val feats = docs.map { case (id, p) =>
-      (id, Multimodal.dhashSig(Multimodal.hist8(p)), Multimodal.hist8(p)) }
-    val expect = (for {
-      (a, sa, ha) <- feats; (b, sb, hb) <- feats
-      if a < b && sa == sb
-      l1 = ha.zip(hb).map { case (x, y) => math.abs(x - y) }.sum
-      if l1 <= 0.05
-    } yield (a, b)).toSet
+      val h = Multimodal.contentHist(p)
+      (id, Multimodal.dhash64(h), h)
+    }
+    val candidates = (0 until Multimodal.PercepBands).flatMap { band =>
+      feats.map { case (id, sig, _) =>
+        (id, (sig >>> (band * Multimodal.BandBits)) &
+          ((1L << Multimodal.BandBits) - 1))
+      }.groupBy(_._2).values
+        .filter(_.size <= Multimodal.MaxBucket)
+        .flatMap { bucket =>
+          val ids = bucket.map(_._1).toSeq
+          for (a <- ids; b <- ids if a < b) yield (a, b)
+        }
+    }.toSet
+    val hist = feats.map(f => f._1 -> f._3).toMap
+    val expect = candidates.filter { case (a, b) =>
+      hist(a).zip(hist(b)).map { case (x, y) => math.abs(x - y) }.sum <= 0.05
+    }
     val got = Multimodal.m4PercepDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expect, s"got ${got.size} expected ${expect.size}")
+    // the r3 verdict's collapse check: the banding must DISCRIMINATE —
+    // candidate pairs stay well below 5% of n²/2 on the real corpus
+    // (the old 7-bit histogram signature emitted 97.8% of all pairs)
+    val n = docs.length.toLong
+    assert(candidates.size < n * (n - 1) / 2 * 5 / 100,
+      s"banding degenerated: ${candidates.size} candidates of ${n * (n - 1) / 2} possible pairs")
     // crafted: byte-identical payloads MUST pair at l1 = 0; a lightly
-    // perturbed payload keeps the gradient signature (the perceptual
+    // perturbed payload keeps enough band signatures (the perceptual
     // point); a structurally different one must not pair
     import spark.implicits._
     val base = Array.tabulate(512)(i => ((i * 37) % 251).toByte)
@@ -239,7 +257,7 @@ class Round3bOpsSpec extends SparkSpec {
     val crafted = Seq((1L, base), (2L, base.clone()), (3L, tweaked),
       (4L, different)).toDF("doc_id", "payload")
     val pairs = Multimodal.percepPairs(crafted).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(pairs((1L, 2L)) == 0.0)
     assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
     assert(!pairs.keys.exists { case (x, y) => x == 4L || y == 4L })
