@@ -518,7 +518,8 @@ object AnomalyML {
     "a5_mahalanobis" ->
       """WITH g AS (SELECT event_id, event_type, value AS x,
         |  CAST(CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS DOUBLE) AS y
-        | FROM events),
+        | FROM events
+        | WHERE regexp_extract(props, '[0-9]+', 0) <> ''),
         |st AS (SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
         |  CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,

@@ -202,21 +202,26 @@ object Dedup {
     def shingled(df: DataFrame, idAs: String) =
       Shingles.index(df, k).withColumnRenamed("doc_id", idAs)
     val cs = shingled(corpus, "b").cache()
-    val kept = cs.groupBy("g").count()
-      .filter(col("count") <= MaxShingleDf).select("g")
-    val cIdx = cs.join(kept, "g").cache()
-    val pIdx = shingled(probe, "a").join(kept, "g").cache()
+    // hot shingles (df > cap) leave the Jaccard universe SYMMETRICALLY:
+    // both sides drop them, but a probe shingle merely ABSENT from the
+    // corpus still counts in the probe's denominator — novel content in
+    // a noisy probe lowers jac instead of silently inflating it
+    // (standard set Jaccard over the capped universe)
+    val capped = cs.groupBy("g").count()
+      .filter(col("count") > MaxShingleDf).select("g")
+    val cIdx = cs.join(capped, Seq("g"), "left_anti").cache()
+    val pAll = shingled(probe, "a").join(capped, Seq("g"), "left_anti").cache()
     val nb = cIdx.groupBy("b").agg(count(lit(1)).as("nb"))
-    val na = pIdx.groupBy("a").agg(count(lit(1)).as("na"))
+    val na = pAll.groupBy("a").agg(count(lit(1)).as("na"))
     val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
-    val out = pIdx.join(cIdx, "g")
+    val out = pAll.join(cIdx, "g")
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
       .join(na, "a").join(nb, "b")
       .filter(jac >= minJac)
       .select(col("a"), col("b"), round(jac, 6).as("jac"))
       .orderBy("a", "b")
       .localCheckpoint(true)
-    pIdx.unpersist(); cIdx.unpersist(); cs.unpersist()
+    pAll.unpersist(); cIdx.unpersist(); cs.unpersist()
     out
   }
 
@@ -410,9 +415,9 @@ object Dedup {
          |cs AS (SELECT doc_id AS b, unnest(list_distinct(list_transform(
          |        range(greatest(len(w) - 4, 1)),
          |        i -> array_to_string(w[i + 1:i + 5], ' ')))) AS g FROM dd),
-         |kept AS (SELECT g FROM cs GROUP BY g HAVING COUNT(*) <= $MaxShingleDf),
-         |ci AS (SELECT b, cs.g FROM cs JOIN kept USING (g)),
-         |pi AS (SELECT a, ps.g FROM ps JOIN kept USING (g)),
+         |capped AS (SELECT g FROM cs GROUP BY g HAVING COUNT(*) > $MaxShingleDf),
+         |ci AS (SELECT b, g FROM cs WHERE g NOT IN (SELECT g FROM capped)),
+         |pi AS (SELECT a, g FROM ps WHERE g NOT IN (SELECT g FROM capped)),
          |nb AS (SELECT b, COUNT(*) AS nb FROM ci GROUP BY b),
          |na AS (SELECT a, COUNT(*) AS na FROM pi GROUP BY a),
          |pr AS (SELECT a, b, COUNT(*) AS common FROM pi JOIN ci USING (g)

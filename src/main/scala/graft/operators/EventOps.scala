@@ -301,21 +301,52 @@ object EventOps {
     * anomaly pipeline has (the reference runs exactly one detector —
     * this is the first capability a production user bolts on).
     *
-    * Scale: each detector is the e5-shape (one map-side-combined stats
-    * agg broadcast over the fact scan); the vote is a groupBy over the
-    * UNION of their (tiny) flag sets, joined back to the fact on
-    * event_id. Flag-set size, not event volume, drives the extra cost.
-    * [sql-oracle] (the three detectors' oracle predicates unioned
-    * verbatim). */
+    * Scale: the fact is projected to (event_id, event_type, value)
+    * and CACHED ONCE — the z/IQR stats and the median come from a
+    * single combined aggregate over it, the MAD needs one more pass
+    * (it is a percentile of a derived column), and the flag pass
+    * derives all three detectors' predicates from one scan with the
+    * per-type stats broadcast. The parquet fact is read once, where
+    * the naive three-detector union read it four times (the r3
+    * verdict's named waste — 4 full fact reads at 100 TB).
+    * Numerically each detector's expression is unchanged, so the
+    * oracle (the three detectors' predicates unioned verbatim) still
+    * hash-matches. [sql-oracle]. */
   def e17Ensemble(s: SparkSession, dir: String): DataFrame = {
-    val votes = e5Zscore(s, dir).select("event_id")
-      .union(e6Robust(s, dir).select("event_id"))
-      .union(e7Iqr(s, dir).select("event_id"))
-      .groupBy("event_id").agg(count(lit(1)).as("votes"))
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value")).cache()
+    // one combined per-type aggregate: z-stats (e5), median (e6's
+    // first pass) and quartile fences (e7) off the same scan
+    val st = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"), dsum(col("value")).as("s1"),
+        dsumSq(col("value")).as("s2"),
+        expr("percentile(value, 0.5)").as("med"),
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - lit(1))))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    // MAD is a percentile of |value − med| — inherently a second pass,
+    // but over the cached projection, not a fact rescan
+    val mad = ev.join(broadcast(st.select("event_type", "med")), "event_type")
+      .withColumn("ad", abs(col("value") - col("med")))
+      .groupBy("event_type").agg(expr("percentile(ad, 0.5)").as("mad"))
+    val z = (col("value") - col("mean")) / col("sd")
+    val rz = (col("value") - col("med")) / (lit(1.4826) * col("mad"))
+    val zf = when(abs(z) > 3, 1L).otherwise(0L)
+    val rf = when(abs(rz) > 3.5, 1L).otherwise(0L)
+    val qf = when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+      .otherwise(0L)
+    val out = ev.join(broadcast(st), "event_type")
+      .join(broadcast(mad), "event_type")
+      .withColumn("votes", zf + rf + qf)
       .filter(col("votes") >= 2)
-    Tables.events(s, dir).select("event_id", "event_type", "value")
-      .join(votes, "event_id")
+      .select(col("event_id"), col("event_type"), col("value"), col("votes"))
       .orderBy("event_id")
+      .localCheckpoint(true)
+    ev.unpersist()
+    out
   }
 
   val oracle: Map[String, String] = Map(

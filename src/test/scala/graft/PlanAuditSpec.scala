@@ -67,6 +67,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(hasBroadcast, "q3's dimension joins must be broadcast, not shuffled")
   }
 
+  test("e17's ensemble reads the events fact at most twice (cached projection, not 4 rescans)") {
+    val plan = SparkEntry.queries("e17_ensemble")(spark, sf)
+      .queryExecution.executedPlan
+    val factScans = allNodes(plan).collect {
+      case s: FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains("events")) => s
+    }
+    assert(factScans.size <= 2,
+      s"e17 must not rescan the events fact per detector, found ${factScans.size} scans")
+  }
+
   // ---- quadratic-candidate guards ----------------------------------
   // The CartesianProduct check above cannot see a DEGENERATE equi-join
   // key (a bucketed join whose buckets collapse to a handful of values

@@ -351,10 +351,14 @@ class Round3bOpsSpec extends SparkSpec {
     val corpusSh = docs.map { case (id, t) => id -> shingles(t) }.toMap
     val df = corpusSh.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
     val keptC = corpusSh.map { case (id, s) => id -> s.filter(df(_) <= Dedup.MaxShingleDf) }
+    // probe keeps every shingle that isn't df-CAPPED — a shingle merely
+    // absent from the corpus still counts in the Jaccard denominator
+    // (the symmetric-universe semantics; ADVICE r3)
     val probeSh = docs.filter(_._1 < 25).map { case (id, t) =>
       val w = t.split(" ")
       val cut = math.ceil(w.length * 3 / 5.0).toInt
-      id -> shingles(w.take(cut).mkString(" ")).filter(df(_) <= Dedup.MaxShingleDf)
+      id -> shingles(w.take(cut).mkString(" "))
+        .filter(df.getOrElse(_, 0) <= Dedup.MaxShingleDf)
     }.toMap
     val expect = (for {
       (a, sa) <- probeSh.toSeq; (b, sb) <- keptC.toSeq
@@ -368,6 +372,22 @@ class Round3bOpsSpec extends SparkSpec {
     // resolves to its own original (shingle-prefix subset ⇒ jac ≈ 0.6)
     val selfHits = (0L until 25L).count(p => got.contains((p, p)))
     assert(selfHits >= 22, s"only $selfHits/25 probes found their originals")
+    // crafted: novel probe content must DEFLATE jac, not vanish from
+    // the denominator — a probe that is half corpus-prefix, half novel
+    // words shares 5 of its 14 shingles with the original (jac 5/19 <
+    // 0.5, no match), where the old corpus-kept-universe semantics
+    // counted only the 5 corpus-present shingles (jac 0.5, false match)
+    import spark.implicits._
+    val aw = (1 to 14).map(i => s"a$i")
+    val corpus = Seq((100L, aw.mkString(" "))).toDF("doc_id", "text")
+    val noisy = Seq((1L, (aw.take(9) ++ (1 to 9).map(i => s"nov$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.fuzzyJoin(noisy, corpus).collect().isEmpty,
+      "novel probe shingles must count in the Jaccard denominator")
+    // control: a lightly-truncated probe still matches
+    val close = Seq((2L, aw.take(12).mkString(" "))).toDF("doc_id", "text")
+    val hit = Dedup.fuzzyJoin(close, corpus).collect()
+    assert(hit.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 100L)))
   }
 
   test("t12_lm_quality matches a driver recompute and ranks rare-word docs as higher-entropy") {
