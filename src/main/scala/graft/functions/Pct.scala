@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** The exact→approx percentile switch (VERDICT r3 item 7).
+  *
+  * Every percentile aggregate in the operator library (e6/e7/e17
+  * robust stats, q9, a1/a3 contamination cuts) routes through
+  * [[of]]: by default it plans Spark's exact `percentile` — the
+  * DuckDB-oracle bit-exactness contract, which buffers a group's
+  * values in the aggregation buffer — and with
+  * `spark.graft.approxPercentile=true` it plans `approx_percentile`
+  * (Greenwald–Khanna, mergeable, bounded memory) instead: the 100 TB
+  * path every call site's scaladoc promises, as a session flag rather
+  * than a code edit. `spark.graft.approxPercentileAccuracy` (default
+  * 10000 → rank error ≤ n/10000) is the precision/memory dial.
+  *
+  * The flag is read at PLAN time from the session, so oracle runs
+  * (Verify) stay exact by default while a scale deployment sets one
+  * conf. Both paths share the identical plan shape (one map-side-
+  * combined aggregate); the spec pins their agreement on planted and
+  * real data.
+  */
+object Pct {
+
+  val FlagKey = "spark.graft.approxPercentile"
+  val AccuracyKey = "spark.graft.approxPercentileAccuracy"
+
+  def approxEnabled(s: SparkSession): Boolean =
+    s.conf.getOption(FlagKey).exists(_.toBoolean)
+
+  /** percentile(valueExpr, p) — exact by default, approx under the
+    * session flag. `valueExpr` is a SQL expression string (a column
+    * name or arithmetic over columns). */
+  def of(s: SparkSession, valueExpr: String, p: Double): Column =
+    if (approxEnabled(s)) {
+      val acc = s.conf.getOption(AccuracyKey).getOrElse("10000")
+      expr(s"approx_percentile($valueExpr, $p, $acc)")
+    } else expr(s"percentile($valueExpr, $p)")
+}

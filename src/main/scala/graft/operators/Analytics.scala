@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.functions.Pct
 
 /** Core relational surface (SURVEY.md §2.A).
   *
@@ -214,9 +215,9 @@ object Analytics {
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("med_qty"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99_price"))
+        round(Pct.of(s, "l_quantity", 0.5), 6).as("med_qty"),
+        round(Pct.of(s, "l_extendedprice", 0.9), 6).as("p90_price"),
+        round(Pct.of(s, "l_extendedprice", 0.99), 6).as("p99_price"))
       .orderBy("l_returnflag")
   }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
+import graft.functions.Pct
 import graft.ml.GraftIsolationForest
 
 /** Event row for typed per-key processing (encoder-friendly). */
@@ -73,7 +74,7 @@ object AnomalyML {
     val scored = ev.withColumn("score", scoreUdf(col("event_type"), col("value")))
       .cache()
     val cuts = scored.groupBy("event_type")
-      .agg(expr("percentile(score, 0.95)").as("if_cut"))
+      .agg(Pct.of(s, "score", 0.95).as("if_cut"))
     val out = scored.join(broadcast(cuts), "event_type")
       .filter(col("score") > col("if_cut"))
       .select(col("event_id"), col("event_type"), col("value"),
@@ -134,7 +135,7 @@ object AnomalyML {
     // fence at the exact 98th percentile of centroid distance (the
     // synthetic clusters are tight enough that mean+2σ flags nothing);
     // at real scale swap percentile → approx_percentile, same plan shape
-    val fence = scored.agg(expr("percentile(dist, 0.98)"))
+    val fence = scored.agg(Pct.of(s, "dist", 0.98))
       .collect()(0).getDouble(0)
     // materialize the (bounded: 2% of rows) result off the cache, then
     // drop both caches — they must not outlive the operator call in a

@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.functions.Pct
 
 /** Event/time-series analytics (SURVEY.md §2.B) — the batch twins of the
   * reference's streaming surface (app3_ML.py:79-141: JSON parse →
@@ -111,10 +112,10 @@ object EventOps {
     * plan shape.) */
   def e6Robust(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
-    val med = ev.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+    val med = ev.groupBy("event_type").agg(Pct.of(s, "value", 0.5).as("med"))
     val withAd = ev.join(broadcast(med), "event_type")
       .withColumn("ad", abs(col("value") - col("med")))
-    val mad = withAd.groupBy("event_type").agg(expr("percentile(ad, 0.5)").as("mad"))
+    val mad = withAd.groupBy("event_type").agg(Pct.of(s, "ad", 0.5).as("mad"))
     val rz = (col("value") - col("med")) / (lit(1.4826) * col("mad"))
     withAd.join(broadcast(mad), "event_type")
       .filter(abs(rz) > 3.5)
@@ -126,7 +127,7 @@ object EventOps {
   def e7Iqr(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
     val st = ev.groupBy("event_type").agg(
-      expr("percentile(value, 0.25)").as("q1"), expr("percentile(value, 0.75)").as("q3"))
+      Pct.of(s, "value", 0.25).as("q1"), Pct.of(s, "value", 0.75).as("q3"))
       .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
       .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
     ev.join(broadcast(st), "event_type")
@@ -320,9 +321,9 @@ object EventOps {
     val st = ev.groupBy("event_type").agg(
         count(lit(1)).as("n"), dsum(col("value")).as("s1"),
         dsumSq(col("value")).as("s2"),
-        expr("percentile(value, 0.5)").as("med"),
-        expr("percentile(value, 0.25)").as("q1"),
-        expr("percentile(value, 0.75)").as("q3"))
+        Pct.of(s, "value", 0.5).as("med"),
+        Pct.of(s, "value", 0.25).as("q1"),
+        Pct.of(s, "value", 0.75).as("q3"))
       .withColumn("mean", col("s1") / col("n"))
       .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - lit(1))))
       .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
@@ -331,7 +332,7 @@ object EventOps {
     // but over the cached projection, not a fact rescan
     val mad = ev.join(broadcast(st.select("event_type", "med")), "event_type")
       .withColumn("ad", abs(col("value") - col("med")))
-      .groupBy("event_type").agg(expr("percentile(ad, 0.5)").as("mad"))
+      .groupBy("event_type").agg(Pct.of(s, "ad", 0.5).as("mad"))
     val z = (col("value") - col("mean")) / col("sd")
     val rz = (col("value") - col("med")) / (lit(1.4826) * col("mad"))
     val zf = when(abs(z) > 3, 1L).otherwise(0L)

@@ -324,25 +324,68 @@ object TextOps {
     * words ⇒ high). The training-data pipeline sits this between t2's
     * surface heuristics and model-based filters.
     *
-    * Scale: the LM "fit" is a map-side-combined word count; scoring is
-    * one shuffle equi-join of the exploded corpus against the frequency
-    * table on the word key (both sides hash-partitioned — at web-corpus
-    * vocabulary there is no broadcast side) plus a per-doc re-agg. Cost
-    * tracks token count, the same class as t3/t6. [rows-only]: `ln` is
-    * libm-dependent and not bit-portable across engines; the spec pins
-    * a driver-side recompute at 1e-9 and the fluency ordering. */
-  def t12LmQuality(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
-    val counts = words.groupBy("word").count()
-    val total = counts.agg(sum("count")).head.getLong(0)
-    val scored = words.join(counts, "word")
+    * Scale: the LM "fit" is a map-side-combined word count. Scoring
+    * joins the exploded corpus against the frequency table on the word
+    * key — a Zipf-skewed key (stopwords are a constant fraction of ALL
+    * tokens), so a plain shuffle join funnels the head words into a
+    * few tasks. The join is therefore SPLIT: the top-`headK` words by
+    * count (a bounded KB-scale frame at any corpus size — Zipf's head
+    * is small by definition) broadcast and match map-side, so the hot
+    * keys never shuffle at all; only the long tail — high-cardinality,
+    * near-uniform after the head is gone — takes the shuffle equi-join.
+    * The fact is scanned once per branch (two narrow scans trade for
+    * removing the skewed shuffle; at 100 TB the shuffle is the
+    * bottleneck, not the scan). Cost tracks token count, the same
+    * class as t3/t6. [rows-only]: `ln` is libm-dependent and not
+    * bit-portable across engines; the spec pins a driver-side
+    * recompute at 1e-9 and the fluency ordering, and a planted-
+    * stopword spec pins the head/tail routing. */
+  def t12LmQuality(s: SparkSession, dir: String): DataFrame =
+    lmQuality(Tables.documents(s, dir))
+
+  /** The head/tail split-join scoring plan: the deterministic
+    * top-`headK` of `counts` (count desc, then word) broadcasts and
+    * matches map-side; everything else anti-joins the head and
+    * shuffle-joins the tail of `counts`. */
+  private def lmScorePlan(words: DataFrame, counts: DataFrame,
+      total: Long, headK: Int): DataFrame = {
+    val head = counts.orderBy(col("count").desc, col("word")).limit(headK)
+    val headHit = words.join(broadcast(head), "word")
+    val tailHit = words
+      .join(broadcast(head.select("word")), Seq("word"), "left_anti")
+      .join(counts, "word")
+    headHit.unionByName(tailHit)
       .withColumn("nlp", -log(col("count") * lit(1.0) / lit(total.toDouble)))
-    scored.groupBy("doc_id")
+      .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         round(sum(col("nlp")) / count(lit(1)), 6).as("xent"))
       .orderBy("doc_id")
+  }
+
+  private def lmWords(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    .filter(col("word") =!= "")
+
+  /** Generic core of [[t12LmQuality]] over any (doc_id, text) frame;
+    * `headK` is the broadcast-head size (hot-key dial). */
+  def lmQuality(docs: DataFrame, headK: Int = 1024): DataFrame = {
+    val words = lmWords(docs)
+    // cached: feeds the total, the head pull and the tail join —
+    // without it the word-count aggregate runs three times
+    val counts = words.groupBy("word").count().cache()
+    val total = counts.agg(sum("count")).head.getLong(0)
+    val out = lmScorePlan(words, counts, total, headK).localCheckpoint(true)
+    counts.unpersist()
+    out
+  }
+
+  /** [[lmQuality]] without the materialize/release wrapper — the raw
+    * lazy plan, for plan-shape introspection in specs. */
+  private[graft] def lmQualityRaw(docs: DataFrame, headK: Int): DataFrame = {
+    val words = lmWords(docs)
+    val counts = words.groupBy("word").count()
+    val total = counts.agg(sum("count")).head.getLong(0)
+    lmScorePlan(words, counts, total, headK)
   }
 
   val oracle: Map[String, String] = Map(

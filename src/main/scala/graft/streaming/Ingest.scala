@@ -67,6 +67,13 @@ object Ingest {
       .option("startingOffsets", startingOffsets)
       .load())
 
+  /** [[fromKafka]] under a [[RateControl]]: the volume dial comes from
+    * rc.maxOffsetsPerTrigger (the reference's app3_ML.py:87 knob);
+    * pair with [[Pipeline.startControlled]] for the cadence dial. */
+  def fromKafka(s: org.apache.spark.sql.SparkSession, bootstrap: String,
+      topic: String, rc: RateControl): DataFrame =
+    fromKafka(s, bootstrap, topic, rc.maxOffsetsPerTrigger.getOrElse(10000L))
+
   /** The producer half of the reference loop (producer/producer-3.py:
     * 113-130: serialize, send to `energy_stream`): write a `value`
     * frame (e.g. [[Pipeline.toKafkaValue]] output) to a Kafka topic.

@@ -2,6 +2,38 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Rate-control surface of the live loop — the reference caps its
+  * consumer at maxOffsetsPerTrigger=500 on the Kafka read
+  * (app3_ML.py:87); graft generalizes the same two dials:
+  *
+  *  - CADENCE: the micro-batch trigger — `triggerIntervalMs` plans
+  *    Trigger.ProcessingTime (a new batch at most every N ms, the
+  *    backpressure release valve when downstream is the bottleneck);
+  *    `availableNow` plans Trigger.AvailableNow (drain the backlog in
+  *    rate-capped batches, then stop — the backfill mode).
+  *  - VOLUME per trigger: `maxOffsetsPerTrigger` flows to the Kafka
+  *    source option ([[Ingest.fromKafka]]), `rowsPerSecond` to the
+  *    rate source — both bound a single micro-batch's input, which is
+  *    what bounds state-update burst size and per-batch shuffle memory
+  *    at 100 TB-scale backlogs.
+  */
+final case class RateControl(
+    triggerIntervalMs: Option[Long] = None,
+    availableNow: Boolean = false,
+    maxOffsetsPerTrigger: Option[Long] = None,
+    rowsPerSecond: Option[Long] = None) {
+  /** The writer-side trigger this control plans, if any. */
+  def trigger: Option[Trigger] =
+    if (availableNow) Some(Trigger.AvailableNow())
+    else triggerIntervalMs.map(ms => Trigger.ProcessingTime(ms))
+}
+
+object RateControl {
+  /** The reference consumer's dials (app3_ML.py:87). */
+  val Reference: RateControl = RateControl(maxOffsetsPerTrigger = Some(500))
+}
 
 /** The reference's full live loop, composed from graft's streaming ops
   * (producer/producer-3.py → Kafka → app/app3_ML.py):
@@ -44,5 +76,25 @@ object Pipeline {
       cap: Int = OutlierTable.DefaultCap): Dataset[Flagged] = {
     implicit val sp = s
     OutlierTable.table(endToEndBatch(s, n), cap)
+  }
+
+  /** The `rate` source under [[RateControl]]'s volume dial — the
+    * no-Kafka stand-in for [[Ingest.fromKafka]] with the same
+    * control surface (graft.Live uses it). */
+  def rateSource(s: SparkSession, rc: RateControl): DataFrame =
+    s.readStream.format("rate")
+      .option("rowsPerSecond", rc.rowsPerSecond.getOrElse(8L))
+      .load()
+
+  /** Start a streaming result into the in-memory sink under `rc`'s
+    * trigger — the rate-controlled form of the live loop's
+    * writeStream (cadence from the trigger; per-trigger volume from
+    * the source options the same RateControl fed to the source). */
+  def startControlled[T](out: Dataset[T], queryName: String,
+      rc: RateControl = RateControl(),
+      mode: OutputMode = OutputMode.Append): StreamingQuery = {
+    val w = out.writeStream.format("memory").queryName(queryName)
+      .outputMode(mode)
+    rc.trigger.fold(w)(w.trigger).start()
   }
 }

@@ -414,6 +414,45 @@ class Round3bOpsSpec extends SparkSpec {
     assert(dupAvg > allAvg)
   }
 
+  test("t12's scoring join routes hot words through the broadcast head, not the shuffle") {
+    import spark.implicits._
+    // planted Zipf: 'the' dominates every doc (the skew that funnels a
+    // plain shuffle join into one task); the tail is per-doc-unique
+    val planted = Seq.tabulate(40)(i =>
+      (i.toLong, (Seq.fill(50)("the") ++ Seq(s"rare$i", s"only$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.lmQuality(planted, headK = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // equality with the unsplit definition (driver recompute)
+    val counts = Map("the" -> 2000L) ++
+      (0 until 40).flatMap(i => Seq(s"rare$i" -> 1L, s"only$i" -> 1L))
+    val total = counts.values.sum.toDouble
+    (0 until 40).foreach { i =>
+      val ws = Seq.fill(50)("the") ++ Seq(s"rare$i", s"only$i")
+      val expect = math.rint(
+        ws.map(w => -math.log(counts(w) / total)).sum / ws.length * 1e6) / 1e6
+      val (n, xent) = out(i.toLong)
+      assert(n == 52 && math.abs(xent - expect) < 1e-9)
+    }
+    // the hot word is in the deterministic top-headK head (so it
+    // matches the BROADCAST side map-side and never shuffles), and the
+    // plan actually contains the broadcast hash join the split promises
+    val headWords = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(4).map(_._1)
+    assert(headWords.contains("the"))
+    val plan = TextOps.lmQualityRaw(planted, headK = 4)
+      .queryExecution.executedPlan
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case o => o.children ++ o.subqueries
+      }
+      p +: kids.flatMap(nodes)
+    }
+    assert(nodes(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "t12's head join must be a broadcast hash join")
+  }
+
   test("e17_ensemble flags exactly the events at least two detectors agree on") {
     def ids(df: org.apache.spark.sql.DataFrame) =
       df.select("event_id").collect().map(_.getLong(0)).toSet

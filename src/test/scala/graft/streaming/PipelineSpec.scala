@@ -48,6 +48,42 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("rate-controlled pipeline: bounded triggers drain the backlog to the same flags") {
+    implicit val s = spark
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val n = 2000L
+    // ground truth: the unbounded batch twin over the same records
+    val expect = Pipeline.endToEndBatch(spark, n).collect()
+      .map(f => (f.ts, f.plant_type)).sorted.toSeq
+    val values = Pipeline.toKafkaValue(Generator.telemetry(
+      spark.range(n).toDF("value"))).as[String].collect()
+    // AvailableNow: drain the backlog in rate-capped batches, then stop
+    val in = MemoryStream[String]
+    in.addData(values.toIndexedSeq)
+    val q = Pipeline.startControlled(
+      Pipeline.detect(in.toDF()), "rc_avail",
+      RateControl(availableNow = true, maxOffsetsPerTrigger = Some(500)))
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    val gotAvail = spark.table("rc_avail").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1))).sorted.toSeq
+    assert(gotAvail == expect, "bounded AvailableNow drain must equal the batch twin")
+    // ProcessingTime cadence: same answer, batches gated by the timer
+    val in2 = MemoryStream[String]
+    val q2 = Pipeline.startControlled(
+      Pipeline.detect(in2.toDF()), "rc_tick",
+      RateControl(triggerIntervalMs = Some(50L)))
+    in2.addData(values.toIndexedSeq)
+    q2.processAllAvailable()
+    q2.stop()
+    val gotTick = spark.table("rc_tick").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1))).sorted.toSeq
+    assert(gotTick == expect)
+    // the reference's dial is representable verbatim
+    assert(RateControl.Reference.maxOffsetsPerTrigger.contains(500L))
+  }
+
   test("JSON round-trip preserves every field to the parsed schema") {
     implicit val s = spark
     val t = Generator.telemetry(spark.range(100L).toDF("value"))
