@@ -54,6 +54,7 @@ object SparkEntry {
     "d2_dedup_ngram" -> (Dedup.d2DedupNgram _),
     "d7_containment" -> (Dedup.d7Containment _),
     "d9_fuzzy_join" -> (Dedup.d9FuzzyJoin _),
+    "d10_block_dedup" -> (Dedup.d10BlockDedup(_, _)),
     "d4_simhash" -> (DedupApprox.d4Simhash _),
     "d6_contamination" -> (Dedup.d6Contamination _),
     "t4_fingerprint" -> (TextOps.t4Fingerprint _),
@@ -72,6 +73,7 @@ object SparkEntry {
     "e15_interpolate" -> (EventOps.e15Interpolate _),
     "a5_mahalanobis" -> (AnomalyML.a5Mahalanobis _),
     "s5_filtered_ann" -> (Similarity.s5FilteredAnn _),
+    "s7_hard_negatives" -> (Similarity.s7HardNegatives(_, _)),
     "i6_take_per_group" -> (Sampling.i6TakePerGroup _),
     "i7_interleave" -> (Sampling.i7Interleave _),
     "i8_token_budget" -> ((s, d) => Sampling.i8TokenBudget(s, d)),

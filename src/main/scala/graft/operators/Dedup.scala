@@ -351,6 +351,60 @@ object Dedup {
     contamination(Tables.spread(s, Tables.documents(s, dir)),
       PortableHash.bucket(col("doc_id"), "contam", 10L) === 0)
 
+  /** d10_block_dedup — sub-document duplicated-span audit: split every
+    * doc into NON-OVERLAPPING k-word blocks (docs ≤ k words are one
+    * whole-text block — the shingle convention) and report, per doc,
+    * how many of its block positions carry text that occurs ≥ 2 times
+    * anywhere in the corpus (other docs OR repeated within the same
+    * doc). This is dedup at the granularity doc-level ops (d1–d4)
+    * structurally miss: the boilerplate/template span pasted into
+    * otherwise-distinct documents (the exact-substring regime of Lee
+    * et al. 2022 §4.1, on word blocks instead of suffix arrays — the
+    * shape a distributed engine can do in two aggregates).
+    *
+    * Scale mirrors d2's index discipline: blocks hash to 64-bit longs
+    * in the typed flatMap (strings never shuffle), the global
+    * occurrence count is one map-side-combined agg, and the per-doc
+    * re-join moves only (doc_id, g) pairs. Cost tracks token count /
+    * k. [sql-oracle] (DuckDB recomputes on raw block strings).
+    */
+  def d10BlockDedup(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    blockDedup(Tables.spread(s, Tables.documents(s, dir)), k)
+
+  /** Generic core of [[d10BlockDedup]] over any (doc_id, text) frame. */
+  def blockDedup(docs: DataFrame, k: Int = 10): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // one row per block POSITION (not distinct): within-doc repeats
+    // are duplicated text too
+    val blocks = docs.select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.split(" ")
+        if (w.length <= k) Iterator((id, Shingles.fnv1a64(w.mkString(" "))))
+        else {
+          val n = w.length / k
+          (0 until n).iterator.map { i =>
+            (id, Shingles.fnv1a64(w.slice(i * k, (i + 1) * k).mkString(" ")))
+          }
+        }
+      }
+      .toDF("doc_id", "g")
+      .cache()
+    val dup = blocks.groupBy("g").count()
+      .filter(col("count") >= 2).select("g")
+    val perDoc = blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+    val hits = blocks.join(dup, "g")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    val out = perDoc.join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup"))
+      .select(col("doc_id"), col("n_blocks"), col("n_dup"),
+        round(col("n_dup") * lit(1.0) / col("n_blocks"), 6).as("dup_ratio"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    blocks.unpersist()
+    out
+  }
+
   /** Shared DuckDB CTE: explode embeddings to (vec_id, position, value)
     * with double-cast values — mirrors VectorOps' double-precision math. */
   private val explodeCte =
@@ -359,6 +413,21 @@ object Dedup {
       |nrm AS (SELECT vec_id, SUM(x * x) AS n2 FROM ex GROUP BY vec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d10_block_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN len(w) <= 10 THEN [array_to_string(w, ' ')]
+        |             ELSE list_transform(range(len(w) // 10),
+        |                    i -> array_to_string(w[i * 10 + 1:(i + 1) * 10], ' '))
+        |        END AS blocks FROM d),
+        |e AS (SELECT doc_id, unnest(blocks) AS g FROM b),
+        |dup AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) >= 2),
+        |n AS (SELECT doc_id, COUNT(*) AS n_blocks FROM e GROUP BY doc_id),
+        |h AS (SELECT doc_id, COUNT(*) AS n_dup FROM e JOIN dup USING (g)
+        |      GROUP BY doc_id)
+        |SELECT n.doc_id, n_blocks, COALESCE(n_dup, 0) AS n_dup,
+        |  ROUND(COALESCE(n_dup, 0) * 1.0 / n_blocks, 6) AS dup_ratio
+        |FROM n LEFT JOIN h USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     "d8_dedup_clusters" ->
       s"""WITH RECURSIVE
          |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

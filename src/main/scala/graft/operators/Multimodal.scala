@@ -131,47 +131,54 @@ object Multimodal {
       maxL1)
 
   /** Generic core of [[m4PercepDedup]] over any (doc_id, payload)
-    * frame. */
+    * frame.
+    *
+    * Plan shape (stage-lean on purpose — the first cut of this op
+    * burned ~3 s of pure stage overhead in extra joins): ONE typed
+    * flatMap emits the band rows with the histogram carried along
+    * (hist is 64 doubles ≈ 0.5 KB — cheaper to ship 4× than to join
+    * back twice); the bucket-count frame is bounded by construction
+    * (≤ PercepBands × 2^BandBits rows) so the df-cap applies as a
+    * BROADCAST semi-join, not a shuffle; the self-join scores L1
+    * inline on each collision and one groupBy dedups multi-band
+    * pairs. Total: one agg, one shuffle self-join, one pair groupBy. */
   def percepPairs(docs: DataFrame, maxL1: Double = 0.05): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // cached: the banded explode feeds both sides of the candidate
-    // join, and the L1 verify joins the histograms back per side
-    val feats = docs
+    val mask = (1L << BandBits) - 1
+    // cached: feeds the bucket-count agg and both self-join sides
+    val bands = docs
       .select(col("doc_id"), col("payload"))
       .as[BinDoc]
-      .map { d =>
+      .flatMap { d =>
         val h = contentHist(d.payload)
-        (d.doc_id, dhash64(h), h.toSeq)
+        val sig = dhash64(h)
+        val hs = h.toSeq
+        (0 until PercepBands).map(i =>
+          (d.doc_id, i, (sig >>> (i * BandBits)) & mask, hs))
       }
-      .toDF("doc_id", "sig", "hist")
+      .toDF("doc_id", "band", "chunk", "hist")
       .cache()
-    val bands = feats.select(col("doc_id"), col("sig"),
-        explode(expr(s"transform(sequence(0, ${PercepBands - 1}), " +
-          s"i -> named_struct('band', i, 'chunk', (sig >> (i * $BandBits)) & ${(1L << BandBits) - 1}))")).as("c"))
-      .select(col("doc_id"), col("c.band"), col("c.chunk"))
-    // df-cap: drop degenerate (band, chunk) buckets before the
-    // self-join — one count aggregate on fixed-width keys
-    val kept = bands.join(
+    val keptBuckets = broadcast(
       bands.groupBy("band", "chunk").count()
         .filter(col("count") <= MaxBucket)
-        .select("band", "chunk"),
-      Seq("band", "chunk"))
-    val cands = kept.as("x").join(kept.as("y"),
-        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    val ha = feats.select(col("doc_id").as("a"), col("hist").as("ha"))
-    val hb = feats.select(col("doc_id").as("b"), col("hist").as("hb"))
+        .select("band", "chunk"))
+    val kept = bands.join(keptBuckets, Seq("band", "chunk"))
+    val x = kept.select(col("band"), col("chunk"),
+      col("doc_id").as("a"), col("hist").as("ha"))
+    val y = kept.select(col("band"), col("chunk"),
+      col("doc_id").as("b"), col("hist").as("hb"))
     val l1 = expr("aggregate(zip_with(ha, hb, (x, y) -> abs(x - y)), 0D, (acc, v) -> acc + v)")
-    val out = cands.join(ha, "a").join(hb, "b")
+    val out = x.join(y, Seq("band", "chunk"))
+      .filter(col("a") < col("b"))
       .withColumn("l1", l1)
       .filter(col("l1") <= maxL1)
-      .select(col("a"), col("b"), round(col("l1"), 6).as("l1"))
+      // a pair sharing several bands collides once per band — same l1
+      // every time; min() is just the dedup
+      .groupBy("a", "b").agg(round(min(col("l1")), 6).as("l1"))
       .orderBy("a", "b")
       .localCheckpoint(true)
-    feats.unpersist()
+    bands.unpersist()
     out
   }
 
@@ -188,9 +195,9 @@ object Multimodal {
           (d.doc_id, i, (sig >>> (i * BandBits)) & ((1L << BandBits) - 1)))
       }
       .toDF("doc_id", "band", "chunk")
-    val kept = bands.join(
+    val kept = bands.join(broadcast(
       bands.groupBy("band", "chunk").count()
-        .filter(col("count") <= MaxBucket).select("band", "chunk"),
+        .filter(col("count") <= MaxBucket).select("band", "chunk")),
       Seq("band", "chunk"))
     kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&

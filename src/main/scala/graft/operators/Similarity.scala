@@ -76,6 +76,38 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** s7_hard_negatives — hard-negative mining for embedding training:
+    * per query, the top-k most-similar corpus vectors whose label
+    * DIFFERS from the query's (the "confusable negatives" contrastive
+    * fine-tuning pairs with each anchor — s5's filter inverted: s5
+    * retrieves within the label, s7 mines the near-misses across it).
+    *
+    * Scale is s1's shape exactly: the (tiny) query set broadcasts, the
+    * corpus streams once, the label-mismatch predicate rides the
+    * broadcast join, and TopKPerGroup bounds the shuffle at k rows per
+    * partition per query. The mismatch join is a BroadcastNestedLoop
+    * over a ≤k-row build side — the allowlisted linear-scan form
+    * (PlanAuditSpec), linear in corpus size by design. [sql-oracle]. */
+  def s7HardNegatives(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label").as("qlbl"),
+        col("embedding").as("eq"),
+        sqrt(VectorOps.normSq(col("embedding"))).as("qn"))
+    val c = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cid"), col("label").as("clbl"),
+        col("embedding").as("ec"),
+        sqrt(VectorOps.normSq(col("embedding"))).as("cn"))
+    val cos = VectorOps.dot(col("eq"), col("ec")) / (col("qn") * col("cn"))
+    graft.plans.TopKPerGroup.perKey(
+        c.join(broadcast(q), col("qlbl") =!= col("clbl"))
+          .withColumn("cos", cos),
+        Seq(col("qid")), Seq(col("cos").desc, col("cid")), k)
+      .select(col("qid"), col("qlbl"), col("cid"), col("clbl"),
+        round(col("cos"), 6).as("cos"), col("rank").as("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** Random-hyperplane signatures (Charikar STOC 2002 SimHash for
     * cosine): 16 tables × 4 bits, deterministic.
     * Bits/table sets bucket granularity — collision prob per table is
@@ -374,6 +406,29 @@ object Similarity {
         |                     JOIN nrm nc ON dots.cid = nc.vec_id
         |                     JOIN lab ql ON ql.vec_id = dots.qid)
         |SELECT qid, lbl, cid, ROUND(cos, 6) AS cos, CAST(rn AS INTEGER) AS rn
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        |                                   ORDER BY cos DESC, cid) AS rn
+        |      FROM scored) t
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "s7_hard_negatives" ->
+      """WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |            generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(SUM(x * x)) AS n FROM ex GROUP BY vec_id),
+        |lab AS (SELECT vec_id, label FROM embeddings),
+        |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x * c.x) AS dot
+        |         FROM ex q JOIN ex c ON q.i = c.i
+        |         JOIN lab ql ON ql.vec_id = q.vec_id
+        |         JOIN lab cl ON cl.vec_id = c.vec_id
+        |         WHERE q.vec_id < 5 AND c.vec_id >= 5 AND ql.label <> cl.label
+        |         GROUP BY q.vec_id, c.vec_id),
+        |scored AS (SELECT qid, ql.label AS qlbl, cid, cl.label AS clbl,
+        |             dot / (nq.n * nc.n) AS cos
+        |           FROM dots JOIN nrm nq ON dots.qid = nq.vec_id
+        |                     JOIN nrm nc ON dots.cid = nc.vec_id
+        |                     JOIN lab ql ON ql.vec_id = dots.qid
+        |                     JOIN lab cl ON cl.vec_id = dots.cid)
+        |SELECT qid, qlbl, cid, clbl, ROUND(cos, 6) AS cos,
+        |  CAST(rn AS INTEGER) AS rn
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         |                                   ORDER BY cos DESC, cid) AS rn
         |      FROM scored) t

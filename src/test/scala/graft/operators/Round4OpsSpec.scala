@@ -42,6 +42,75 @@ class Round4OpsSpec extends SparkSpec {
     assert(run() == exact)
   }
 
+  test("d10_block_dedup matches a driver recompute and flags planted boilerplate spans") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def blocks(t: String): Seq[String] = {
+      val w = t.split(" ")
+      if (w.length <= 10) Seq(w.mkString(" "))
+      else (0 until w.length / 10).map(i => w.slice(i * 10, (i + 1) * 10).mkString(" "))
+    }
+    val all = docs.flatMap { case (id, t) => blocks(t).map(id -> _) }
+    val dup = all.groupBy(_._2).filter(_._2.length >= 2).keySet
+    val expect = docs.map { case (id, t) =>
+      val bs = blocks(t)
+      val nd = bs.count(dup)
+      id -> ((bs.length.toLong, nd.toLong,
+        math.rint(nd * 1.0 / bs.length * 1e6) / 1e6))
+    }.toMap
+    val got = Dedup.d10BlockDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == expect, s"got ${got.size} expected ${expect.size}")
+    // the sub-document case the doc-level ops miss: one shared block
+    // pasted into two otherwise-unrelated docs is flagged in both, and
+    // the rest of each doc stays clean
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val ua = (1 to 20).map(i => s"ua$i").mkString(" ")
+    val ub = (1 to 20).map(i => s"ub$i").mkString(" ")
+    val crafted = Seq((1L, s"$boiler $ua"), (2L, s"$boiler $ub"),
+      (3L, (1 to 30).map(i => s"uc$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = Dedup.blockDedup(crafted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(1L) == ((3L, 1L)) && rows(2L) == ((3L, 1L)) &&
+      rows(3L) == ((3L, 0L)))
+    // doc-level Jaccard misses the pair entirely (1 of 5+ shingle
+    // blocks shared → far below 0.5)
+    assert(Dedup.ngramJaccard(crafted).collect().isEmpty)
+  }
+
+  test("s7_hard_negatives returns the exact cross-label top-k per query") {
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = emb.filter(_._1 < 5)
+    val corpus = emb.filter(_._1 >= 5)
+    val expect = queries.flatMap { case (qid, qlbl, qv) =>
+      corpus.filter(_._2 != qlbl)
+        .map { case (cid, _, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(10).zipWithIndex
+        .map { case ((cid, _), i) => (qid, cid, i + 1) }
+    }.toSet
+    val got = Similarity.s7HardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(5))).toSet
+    assert(got == expect)
+    // every mined negative really is cross-label
+    val lbl = emb.map(e => e._1 -> e._2).toMap
+    Similarity.s7HardNegatives(spark, sf).collect().foreach { r =>
+      assert(lbl(r.getLong(0)) != lbl(r.getLong(2)))
+      assert(r.getInt(1) == lbl(r.getLong(0)) && r.getInt(3) == lbl(r.getLong(2)))
+    }
+  }
+
   test("q9 and e6 under the approx flag agree with the exact path within the bound") {
     val exactQ9 = Analytics.q9Percentile(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
