@@ -86,6 +86,7 @@ object SparkEntry {
     "e14_approx_quantile" -> (Analytics.e14ApproxQuantile _),
     "t11_heavy_hitters" -> (TextOps.t11HeavyHitters _),
     "t12_lm_quality" -> (TextOps.t12LmQuality _),
+    "t13_normalize" -> (TextOps.t13Normalize _),
     "d3_minhash_lsh" -> (DedupApprox.d3MinhashLsh _),
     "s2_ann_lsh" -> (Similarity.s2AnnLsh _),
     "t1_langid" -> (TextOps.t1Langid _),

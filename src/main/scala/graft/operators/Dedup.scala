@@ -376,17 +376,11 @@ object Dedup {
     val s = docs.sparkSession
     import s.implicits._
     // one row per block POSITION (not distinct): within-doc repeats
-    // are duplicated text too
+    // are duplicated text too. The block convention lives in
+    // Shingles.docBlocks, shared with the st16 streaming screen.
     val blocks = docs.select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, text) =>
-        val w = text.split(" ")
-        if (w.length <= k) Iterator((id, Shingles.fnv1a64(w.mkString(" "))))
-        else {
-          val n = w.length / k
-          (0 until n).iterator.map { i =>
-            (id, Shingles.fnv1a64(w.slice(i * k, (i + 1) * k).mkString(" ")))
-          }
-        }
+        Shingles.docBlocks(text, k).iterator.map(g => (id, g))
       }
       .toDF("doc_id", "g")
       .cache()
@@ -403,6 +397,20 @@ object Dedup {
       .localCheckpoint(true)
     blocks.unpersist()
     out
+  }
+
+  /** The duplicated-block hash set of a corpus (block text occurring
+    * ≥ 2 times anywhere, [[blockDedup]]'s `dup` stage) — build this
+    * once batch-side and hand it to the st16 streaming span screen as
+    * its static join side. */
+  def dupBlocks(docs: DataFrame, k: Int = 10): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (_, text) => Shingles.docBlocks(text, k).iterator }
+      .toDF("g")
+      .groupBy("g").count()
+      .filter(col("count") >= 2).select("g")
   }
 
   /** Shared DuckDB CTE: explode embeddings to (vec_id, position, value)

@@ -62,6 +62,19 @@ object Shingles {
     out
   }
 
+  /** The NON-OVERLAPPING k-word block hashes of one document, one per
+    * block POSITION (within-doc repeats preserved; docs ≤ k words are
+    * one whole-text block — the same short-doc convention as
+    * [[docShingleSet]]). The single definition d10's batch audit and
+    * st16's streaming screen share, so the block convention cannot
+    * drift between the batch and stream paths. */
+  def docBlocks(text: String, k: Int): Array[Long] = {
+    val w = text.split(" ")
+    if (w.length <= k) Array(fnv1a64(w.mkString(" ")))
+    else Array.tabulate(w.length / k)(i =>
+      fnv1a64(w.slice(i * k, (i + 1) * k).mkString(" ")))
+  }
+
   /** Distinct k-word-shingle hashes per doc: (doc_id, g), via
     * [[docShingleSet]]. */
   def index(docs: DataFrame, k: Int): DataFrame = {

@@ -388,7 +388,46 @@ object TextOps {
     lmScorePlan(words, counts, total, headK)
   }
 
+  /** t13_normalize — canonical text normalization + normalized-form
+    * dedup groups: lowercase, strip every character outside
+    * [a-z0-9 ], collapse space runs, trim, then group docs by the
+    * digest of the normal form. This is the case/punctuation/
+    * whitespace near-dup class d1's byte-exact digest structurally
+    * misses ("Hello, World!" ≡ "hello world") — and the normalization
+    * pass every training pipeline runs before exact dedup. Output per
+    * doc: its normal-form digest, the group keeper (min doc_id) and
+    * the variant count.
+    *
+    * Scale: the normalization is a narrow codegen'd expression chain
+    * (no UDF); the group stats are one map-side-combined aggregate on
+    * the digest joined back — d1's shape plus the join. [sql-oracle]
+    * (identical regex pipeline both engines; md5 of equal strings is
+    * equal). */
+  def t13Normalize(s: SparkSession, dir: String): DataFrame =
+    normalizeDedup(Tables.documents(s, dir))
+
+  /** Generic core of [[t13Normalize]] over any (doc_id, text) frame. */
+  def normalizeDedup(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val n = docs.select(col("doc_id"), md5(norm).as("h"))
+    val g = n.groupBy("h").agg(min(col("doc_id")).as("keeper"),
+      count(lit(1)).as("n_variants"))
+    n.join(g, "h")
+      .select(col("doc_id"), col("h"), col("keeper"), col("n_variants"))
+      .orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "t13_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS h
+        |  FROM documents),
+        |g AS (SELECT h, MIN(doc_id) AS keeper, COUNT(*) AS n_variants
+        |      FROM n GROUP BY h)
+        |SELECT doc_id, h, keeper, n_variants FROM n JOIN g USING (h)
+        |ORDER BY doc_id""".stripMargin,
     "t1_langid" -> {
       // one scored row per (doc, lang), embedded marker lists verbatim;
       // argmax with the same tie-break as greatest(struct(sc, lang)):

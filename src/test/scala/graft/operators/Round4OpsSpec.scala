@@ -79,6 +79,39 @@ class Round4OpsSpec extends SparkSpec {
     assert(Dedup.ngramJaccard(crafted).collect().isEmpty)
   }
 
+  test("t13_normalize groups case/punctuation/whitespace variants under one keeper") {
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),
+      (3L, "HELLO WORLD."),
+      (4L, "goodbye world")).toDF("doc_id", "text")
+    val rows = TextOps.normalizeDedup(crafted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) == ((1L, 3L)) && rows(2L) == ((1L, 3L)) &&
+      rows(3L) == ((1L, 3L)), "all three variants share keeper 1")
+    assert(rows(4L) == ((4L, 1L)))
+    // d1's byte-exact digest sees four distinct docs — the class t13 exists for
+    assert(Dedup.exactDedup(crafted).count() == 4)
+    // corpus binding matches a driver recompute of the same pipeline
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val norm = docs.map { case (id, t) =>
+      id -> t.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll(" +", " ").trim
+    }
+    val groups = norm.groupBy(_._2).map { case (_, g) =>
+      g.map(_._1).min -> g.length.toLong
+    }
+    val byDoc = norm.map { case (id, nf) =>
+      val g = norm.filter(_._2 == nf).map(_._1)
+      id -> ((g.min, g.length.toLong))
+    }.toMap
+    val got = TextOps.t13Normalize(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == byDoc)
+    assert(groups.nonEmpty)
+  }
+
   test("s7_hard_negatives returns the exact cross-label top-k per query") {
     val emb = graft.Tables.embeddings(spark, sf)
       .select("vec_id", "label", "embedding").collect()

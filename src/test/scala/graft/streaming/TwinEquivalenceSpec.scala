@@ -376,6 +376,30 @@ class TwinEquivalenceSpec extends SparkSpec {
       s"stream=${streamed.size} batch=${batch.size}")
   }
 
+  test("st16 stream-static span screen == d10 batch audit on the replayed corpus") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // static side: the corpus's duplicated-block index, built batch-side
+    val dup = graft.operators.Dedup.dupBlocks(docs.toSeq.toDF("doc_id", "text"))
+      .localCheckpoint(true)
+    val in = MemoryStream[(Long, String)]
+    val q = StreamSpanScreen.probe(in.toDF().toDF("doc_id", "text"), dup)
+      .writeStream.format("memory").queryName("twin_st16")
+      .outputMode(OutputMode.Update).start()
+    docs.grouped(docs.length / 3 + 1).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("twin_st16").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = graft.operators.Dedup.d10BlockDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream=${streamed.size} batch=${batch.size}")
+  }
+
   test("fromKafka's downstream path: binary value frame -> parse (MemoryStream passthrough)") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
