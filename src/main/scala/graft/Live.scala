@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.streaming.OutputMode
 
-import graft.streaming.{Generator, OutlierTable, Pipeline}
+import graft.streaming.{Generator, OutlierTable, Pipeline, RateControl}
 
 /** Demo main: the reference's live loop running as a real Structured
   * Streaming job on the `rate` source at the producer's 8 Hz — no Kafka
@@ -20,8 +20,8 @@ object Live {
       cores = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
         .getOrElse(Runtime.getRuntime.availableProcessors),
       appName = "graft-live")
-    val rate = spark.readStream.format("rate")
-      .option("rowsPerSecond", rps).load()
+    val rc = RateControl(rowsPerSecond = Some(rps.toLong))
+    val rate = Pipeline.rateSource(spark, rc)
     val flagged = Pipeline.detect(
       Pipeline.toKafkaValue(Generator.telemetry(rate)))
     // one stateful operator per streaming query (Spark constraint on
@@ -29,9 +29,8 @@ object Live {
     // streams flags in append mode; the dashboard's capped per-entity
     // table is derived from the sink — OutlierTable.table is the
     // single-query streaming alternative when update mode suffices.
-    val q = flagged
-      .writeStream.format("memory").queryName("flags")
-      .outputMode(OutputMode.Append).start()
+    val q = Pipeline.startControlled(flagged, "flags", rc,
+      OutputMode.Append)
     q.awaitTermination(seconds * 1000L)
     q.stop()
     import org.apache.spark.sql.functions.col
