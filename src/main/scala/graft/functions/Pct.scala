@@ -27,15 +27,25 @@ object Pct {
   val FlagKey = "spark.graft.approxPercentile"
   val AccuracyKey = "spark.graft.approxPercentileAccuracy"
 
+  /** Tolerant flag read: only the canonical "true" (any case) enables
+    * approx — a malformed value must not make every percentile
+    * operator throw at plan time. */
   def approxEnabled(s: SparkSession): Boolean =
-    s.conf.getOption(FlagKey).exists(_.toBoolean)
+    s.conf.getOption(FlagKey).exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Accuracy dial, validated: positive integer or the 10000 default —
+    * never interpolated unparsed into SQL. */
+  private def accuracy(s: SparkSession): Int =
+    s.conf.getOption(AccuracyKey)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0)
+      .getOrElse(10000)
 
   /** percentile(valueExpr, p) — exact by default, approx under the
     * session flag. `valueExpr` is a SQL expression string (a column
     * name or arithmetic over columns). */
   def of(s: SparkSession, valueExpr: String, p: Double): Column =
-    if (approxEnabled(s)) {
-      val acc = s.conf.getOption(AccuracyKey).getOrElse("10000")
-      expr(s"approx_percentile($valueExpr, $p, $acc)")
-    } else expr(s"percentile($valueExpr, $p)")
+    if (approxEnabled(s))
+      expr(s"approx_percentile($valueExpr, $p, ${accuracy(s)})")
+    else expr(s"percentile($valueExpr, $p)")
 }

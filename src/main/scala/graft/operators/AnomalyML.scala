@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.Pct
 import graft.ml.GraftIsolationForest
+import graft.Exec._
 
 /** Event row for typed per-key processing (encoder-friendly). */
 case class EventRow(event_id: Long, user_id: Long, value: Double, secs: Long)
@@ -72,7 +73,7 @@ object AnomalyML {
     // feeds BOTH the contamination-quantile cut and the flag join —
     // uncached it runs twice (the a3 lesson, ADVICE r1)
     val scored = ev.withColumn("score", scoreUdf(col("event_type"), col("value")))
-      .cache()
+      .cacheIf()
     val cuts = scored.groupBy("event_type")
       .agg(Pct.of(s, "score", 0.95).as("if_cut"))
     val out = scored.join(broadcast(cuts), "event_type")
@@ -80,8 +81,8 @@ object AnomalyML {
       .select(col("event_id"), col("event_type"), col("value"),
         round(col("score"), 6).as("score"))
       .orderBy("event_id")
-      .localCheckpoint(true)
-    scored.unpersist()
+      .finishIf()
+    scored.unpersistIf()
     out
   }
 
@@ -99,7 +100,7 @@ object AnomalyML {
     val e = Tables.spread(s, Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("features"))
-      .cache()
+      .cacheIf()
     // fit on a bounded deterministic sample, few partitions, random
     // init: centroid quality needs ~10⁴–10⁵ vectors regardless of
     // corpus size, and k-means|| init alone costs ~2 passes (several
@@ -108,10 +109,10 @@ object AnomalyML {
     val n = e.count()
     val trainFrac = math.min(1.0, 100000.0 / math.max(n, 1L))
     val train = Sampling.uniform(e, col("vec_id"), trainFrac)
-      .select(col("features")).coalesce(8).cache()
+      .select(col("features")).coalesce(8).cacheIf()
     val model = new KMeans().setK(10).setSeed(42L).setMaxIter(10)
       .setInitMode("random").fit(train)
-    train.unpersist()
+    train.unpersistIf()
     val centers = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
     val distUdf = udf((v: Seq[Float]) => {
       var best = Double.MaxValue
@@ -131,7 +132,7 @@ object AnomalyML {
     })
     val scored = e.withColumn("dc", distUdf(col("embedding")))
       .select(col("vec_id"), col("dc._1").as("cluster"), col("dc._2").as("dist"))
-      .cache()
+      .cacheIf()
     // fence at the exact 98th percentile of centroid distance (the
     // synthetic clusters are tight enough that mean+2σ flags nothing);
     // at real scale swap percentile → approx_percentile, same plan shape
@@ -144,9 +145,9 @@ object AnomalyML {
     val out = scored.filter(col("dist") > fence)
       .select(col("vec_id"), col("cluster"), round(col("dist"), 6).as("dist"))
       .orderBy("vec_id")
-      .localCheckpoint(true)
-    scored.unpersist()
-    e.unpersist()
+      .finishIf()
+    scored.unpersistIf()
+    e.unpersistIf()
     out
   }
 
@@ -270,7 +271,7 @@ object AnomalyML {
         ((col("secs") - lit(minS)) * lit(chunks.toLong) / lit(span)).cast("int"))
       .select(col("key"), col("chunk"), col("event_id"), col("secs"),
         col("value"), col("mean"), col("sd"))
-      .cache()
+      .cacheIf()
     // fixpoint loop over boundary states: scan dirty chunks from their
     // assumed starts, stitch, repeat until assumptions hold
     type Cell = (String, Int)
@@ -355,8 +356,8 @@ object AnomalyML {
       }
       .toDF()
       .orderBy("event_id", "side")
-      .localCheckpoint(true)
-    base.unpersist()
+      .finishIf()
+    base.unpersistIf()
     out
   }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{PortableHash, VectorOps}
+import graft.Exec._
 
 /** Deduplication for LLM-data pipelines (SURVEY.md §2.D), over the
   * `documents` / `embeddings` tables.
@@ -110,13 +111,13 @@ object Dedup {
     // typed-flatMap shingle index (Shingles.index: ~6× the HOF form);
     // cached because it feeds both the doc-frequency count and the
     // index join — uncached, the shingling would run twice
-    val exploded = Shingles.index(docs, k).cache()
+    val exploded = Shingles.index(docs, k).cacheIf()
     // doc-frequency cap: one map-side-combined agg, broadcast-free
     // semi-join back (the kept-shingle set shuffles with the index)
     val kept = exploded.groupBy("g").count()
       .filter(col("count") <= MaxShingleDf).select("g")
     // cached: the index is both sides of the pair self-join
-    val idx = exploded.join(kept, "g").cache()
+    val idx = exploded.join(kept, "g").cacheIf()
     val counted = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val x = idx.select(col("doc_id").as("a"), col("g").as("ga"))
     val y = idx.select(col("doc_id").as("b"), col("g").as("gb"))
@@ -132,9 +133,9 @@ object Dedup {
       .filter(jac >= minJac)
       .select(col("a"), col("b"), round(jac, 6).as("jac"))
       .orderBy("a", "b")
-      .localCheckpoint(true)
-    idx.unpersist()
-    exploded.unpersist()
+      .finishIf()
+    idx.unpersistIf()
+    exploded.unpersistIf()
     out
   }
 
@@ -160,10 +161,10 @@ object Dedup {
     * pairs from the equi-join — never all-pairs. */
   def containmentPairs(docs: DataFrame, k: Int = 5,
       minCover: Double = 0.8): DataFrame = {
-    val exploded = Shingles.index(docs, k).cache()
+    val exploded = Shingles.index(docs, k).cacheIf()
     val kept = exploded.groupBy("g").count()
       .filter(col("count") <= MaxShingleDf).select("g")
-    val idx = exploded.join(kept, "g").cache()
+    val idx = exploded.join(kept, "g").cacheIf()
     val counted = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val x = idx.select(col("doc_id").as("a"), col("g").as("ga"))
     val y = idx.select(col("doc_id").as("b"), col("g").as("gb"))
@@ -177,9 +178,9 @@ object Dedup {
       .select(col("a"), col("b"), col("common"), col("na"),
         round(cover, 6).as("cover"))
       .orderBy("a", "b")
-      .localCheckpoint(true)
-    idx.unpersist()
-    exploded.unpersist()
+      .finishIf()
+    idx.unpersistIf()
+    exploded.unpersistIf()
     out
   }
 
@@ -201,7 +202,7 @@ object Dedup {
       minJac: Double = 0.5): DataFrame = {
     def shingled(df: DataFrame, idAs: String) =
       Shingles.index(df, k).withColumnRenamed("doc_id", idAs)
-    val cs = shingled(corpus, "b").cache()
+    val cs = shingled(corpus, "b").cacheIf()
     // hot shingles (df > cap) leave the Jaccard universe SYMMETRICALLY:
     // both sides drop them, but a probe shingle merely ABSENT from the
     // corpus still counts in the probe's denominator — novel content in
@@ -209,8 +210,8 @@ object Dedup {
     // (standard set Jaccard over the capped universe)
     val capped = cs.groupBy("g").count()
       .filter(col("count") > MaxShingleDf).select("g")
-    val cIdx = cs.join(capped, Seq("g"), "left_anti").cache()
-    val pAll = shingled(probe, "a").join(capped, Seq("g"), "left_anti").cache()
+    val cIdx = cs.join(capped, Seq("g"), "left_anti").cacheIf()
+    val pAll = shingled(probe, "a").join(capped, Seq("g"), "left_anti").cacheIf()
     val nb = cIdx.groupBy("b").agg(count(lit(1)).as("nb"))
     val na = pAll.groupBy("a").agg(count(lit(1)).as("na"))
     val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
@@ -220,8 +221,8 @@ object Dedup {
       .filter(jac >= minJac)
       .select(col("a"), col("b"), round(jac, 6).as("jac"))
       .orderBy("a", "b")
-      .localCheckpoint(true)
-    pAll.unpersist(); cIdx.unpersist(); cs.unpersist()
+      .finishIf()
+    pAll.unpersistIf(); cIdx.unpersistIf(); cs.unpersistIf()
     out
   }
 
@@ -258,9 +259,9 @@ object Dedup {
   def connectedComponents(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
-      .localCheckpoint(true) // reused every round — materialize once
+      .finishIf() // reused every round — materialize once
     var labels = sym.select(col("u").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint(true)
+      .withColumn("lbl", col("v")).finishIf()
     var changed = 1L
     var rounds = 0
     while (changed > 0) {
@@ -272,7 +273,7 @@ object Dedup {
       val upd = labels.join(nbr, Seq("v"), "left")
         .select(col("v"), col("lbl"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl2"))
-        .localCheckpoint(true)
+        .finishIf()
       changed = upd.filter(col("lbl2") < col("lbl")).count()
       val next = upd.select(col("v"), col("lbl2").as("lbl"))
       // pointer jump: lbl ← lbl(lbl). Labels are vertex ids and only
@@ -283,7 +284,7 @@ object Dedup {
       labels = next.join(jump, next("lbl") === jump("jv"), "left")
         .select(next("v"),
           least(next("lbl"), coalesce(col("jl"), next("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .finishIf()
     }
     labels
   }
@@ -328,7 +329,7 @@ object Dedup {
     // uncached (it's 90% of the corpus — recomputing is cheaper than
     // materializing at scale).
     val testSh = base.filter(col("is_test"))
-      .select(col("doc_id"), col("g")).cache()
+      .select(col("doc_id"), col("g")).cacheIf()
     val trainSh = base.filter(!col("is_test"))
       .select(col("g")).distinct()
     val counts = testSh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -340,8 +341,8 @@ object Dedup {
       .select(col("doc_id"), col("n_sh"), col("n_hit"),
         round(col("n_hit") * lit(1.0) / col("n_sh"), 6).as("hit_ratio"))
       .orderBy("doc_id")
-      .localCheckpoint(true)
-    testSh.unpersist()
+      .finishIf()
+    testSh.unpersistIf()
     out
   }
 
@@ -352,8 +353,10 @@ object Dedup {
       PortableHash.bucket(col("doc_id"), "contam", 10L) === 0)
 
   /** d10_block_dedup — sub-document duplicated-span audit: split every
-    * doc into NON-OVERLAPPING k-word blocks (docs ≤ k words are one
-    * whole-text block — the shingle convention) and report, per doc,
+    * doc into NON-OVERLAPPING k-word blocks plus a final k-word tail
+    * window when the length is not block-aligned (docs ≤ k words are
+    * one whole-text block — the shingle convention; see
+    * Shingles.docBlocks for the tail/alignment notes) and report, per doc,
     * how many of its block positions carry text that occurs ≥ 2 times
     * anywhere in the corpus (other docs OR repeated within the same
     * doc). This is dedup at the granularity doc-level ops (d1–d4)
@@ -383,7 +386,7 @@ object Dedup {
         Shingles.docBlocks(text, k).iterator.map(g => (id, g))
       }
       .toDF("doc_id", "g")
-      .cache()
+      .cacheIf()
     val dup = blocks.groupBy("g").count()
       .filter(col("count") >= 2).select("g")
     val perDoc = blocks.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
@@ -394,8 +397,8 @@ object Dedup {
       .select(col("doc_id"), col("n_blocks"), col("n_dup"),
         round(col("n_dup") * lit(1.0) / col("n_blocks"), 6).as("dup_ratio"))
       .orderBy("doc_id")
-      .localCheckpoint(true)
-    blocks.unpersist()
+      .finishIf()
+    blocks.unpersistIf()
     out
   }
 
@@ -425,8 +428,11 @@ object Dedup {
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |b AS (SELECT doc_id,
         |        CASE WHEN len(w) <= 10 THEN [array_to_string(w, ' ')]
-        |             ELSE list_transform(range(len(w) // 10),
+        |             WHEN len(w) % 10 = 0 THEN list_transform(range(len(w) // 10),
         |                    i -> array_to_string(w[i * 10 + 1:(i + 1) * 10], ' '))
+        |             ELSE list_append(list_transform(range(len(w) // 10),
+        |                    i -> array_to_string(w[i * 10 + 1:(i + 1) * 10], ' ')),
+        |                  array_to_string(w[len(w) - 9:len(w)], ' '))
         |        END AS blocks FROM d),
         |e AS (SELECT doc_id, unnest(blocks) AS g FROM b),
         |dup AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) >= 2),

@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.PortableHash
+import graft.Exec._
 
 /** (doc_id, minhash signature) row for typed ops. */
 case class DocSig(doc_id: Long, sig: Array[Long])
@@ -77,7 +78,7 @@ object DedupApprox {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, t) => DocSig(id, minhashSig(t)) }
-      .cache()
+      .cacheIf()
     // band key = the EXACT 5-value tuple (not a hash of it): two docs
     // bucket together iff the band's signature rows are identical, the
     // semantics the DuckDB oracle states directly — no collision caveat.
@@ -105,8 +106,8 @@ object DedupApprox {
       .filter(col("est_jac") >= 0.5)
       .select(col("a"), col("b"), round(col("est_jac"), 6).as("est_jac"))
       .orderBy("a", "b")
-      .localCheckpoint(true)
-    sigs.unpersist()
+      .finishIf()
+    sigs.unpersistIf()
     out
   }
 
@@ -162,7 +163,7 @@ object DedupApprox {
       .select(col("doc_id"), simUdf(col("text")).as("sim"))
       // cached: the chunk explode joins against itself, which would
       // recompute the (md5-heavy) signature map twice
-      .cache()
+      .cacheIf()
     val chunks = sims.select(col("doc_id"), col("sim"),
         explode(expr("transform(sequence(0, 3), i -> named_struct('band', i, 'chunk', (sim >> (i * 15)) & 32767))")).as("c"))
       .select(col("doc_id"), col("sim"), col("c.band"), col("c.chunk"))
@@ -176,8 +177,8 @@ object DedupApprox {
       .filter(col("hamming") <= 8)
       .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
       .orderBy("a", "b")
-      .localCheckpoint(true)
-    sims.unpersist()
+      .finishIf()
+    sims.unpersistIf()
     out
   }
 

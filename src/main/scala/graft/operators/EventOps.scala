@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.Pct
+import graft.Exec._
 
 /** Event/time-series analytics (SURVEY.md §2.B) — the batch twins of the
   * reference's streaming surface (app3_ML.py:79-141: JSON parse →
@@ -315,7 +316,7 @@ object EventOps {
     * hash-matches. [sql-oracle]. */
   def e17Ensemble(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
-      .select(col("event_id"), col("event_type"), col("value")).cache()
+      .select(col("event_id"), col("event_type"), col("value")).cacheIf()
     // one combined per-type aggregate: z-stats (e5), median (e6's
     // first pass) and quartile fences (e7) off the same scan
     val st = ev.groupBy("event_type").agg(
@@ -345,8 +346,8 @@ object EventOps {
       .filter(col("votes") >= 2)
       .select(col("event_id"), col("event_type"), col("value"), col("votes"))
       .orderBy("event_id")
-      .localCheckpoint(true)
-    ev.unpersist()
+      .finishIf()
+    ev.unpersistIf()
     out
   }
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Exec._
 
 /** Binary payload + typed metadata row (the multimodal column shape). */
 case class BinDoc(doc_id: Long, payload: Array[Byte])
@@ -130,25 +131,16 @@ object Multimodal {
         .select(col("doc_id"), col("text").cast("binary").as("payload")),
       maxL1)
 
-  /** Generic core of [[m4PercepDedup]] over any (doc_id, payload)
-    * frame.
-    *
-    * Plan shape (stage-lean on purpose — the first cut of this op
-    * burned ~3 s of pure stage overhead in extra joins): ONE typed
-    * flatMap emits the band rows with the histogram carried along
-    * (hist is 64 doubles ≈ 0.5 KB — cheaper to ship 4× than to join
-    * back twice); the bucket-count frame is bounded by construction
-    * (≤ PercepBands × 2^BandBits rows) so the df-cap applies as a
-    * BROADCAST semi-join, not a shuffle; the self-join scores L1
-    * inline on each collision and one groupBy dedups multi-band
-    * pairs. Total: one agg, one shuffle self-join, one pair groupBy. */
-  def percepPairs(docs: DataFrame, maxL1: Double = 0.05): DataFrame = {
+  /** The band rows of [[percepPairs]] — the ONE definition of the
+    * signature banding (content hist → 64-bit dHash → PercepBands ×
+    * BandBits chunks), with the histogram carried along. The operator
+    * and the PlanAudit candidate-volume guard both build on this, so
+    * the guard can never drift from what the operator plans. */
+  private def bandRows(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val mask = (1L << BandBits) - 1
-    // cached: feeds the bucket-count agg and both self-join sides
-    val bands = docs
-      .select(col("doc_id"), col("payload"))
+    docs.select(col("doc_id"), col("payload"))
       .as[BinDoc]
       .flatMap { d =>
         val h = contentHist(d.payload)
@@ -158,12 +150,35 @@ object Multimodal {
           (d.doc_id, i, (sig >>> (i * BandBits)) & mask, hs))
       }
       .toDF("doc_id", "band", "chunk", "hist")
-      .cache()
-    val keptBuckets = broadcast(
+  }
+
+  /** [[MaxBucket]] df-cap over band rows: the bucket-count frame is
+    * bounded by construction (≤ PercepBands × 2^BandBits rows), so it
+    * applies as a BROADCAST semi-join, never a shuffle. */
+  private def capBuckets(bands: DataFrame): DataFrame =
+    bands.join(broadcast(
       bands.groupBy("band", "chunk").count()
         .filter(col("count") <= MaxBucket)
-        .select("band", "chunk"))
-    val kept = bands.join(keptBuckets, Seq("band", "chunk"))
+        .select("band", "chunk")),
+      Seq("band", "chunk"))
+
+  /** Generic core of [[m4PercepDedup]] over any (doc_id, payload)
+    * frame.
+    *
+    * Plan shape (stage-lean on purpose — the first cut of this op
+    * burned ~3 s of pure stage overhead in extra joins): ONE typed
+    * flatMap emits the band rows with the histogram carried along
+    * (hist is 64 doubles ≈ 0.5 KB — cheaper to ship 4× than to join
+    * back twice); the df-cap applies as a broadcast semi-join
+    * ([[capBuckets]]); the self-join scores L1 inline on each
+    * collision and one groupBy dedups multi-band pairs. Total: one
+    * agg, one shuffle self-join, one pair groupBy. */
+  def percepPairs(docs: DataFrame, maxL1: Double = 0.05): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // cached: feeds the bucket-count agg and both self-join sides
+    val bands = bandRows(docs).cacheIf()
+    val kept = capBuckets(bands)
     val x = kept.select(col("band"), col("chunk"),
       col("doc_id").as("a"), col("hist").as("ha"))
     val y = kept.select(col("band"), col("chunk"),
@@ -177,8 +192,8 @@ object Multimodal {
       // every time; min() is just the dedup
       .groupBy("a", "b").agg(round(min(col("l1")), 6).as("l1"))
       .orderBy("a", "b")
-      .localCheckpoint(true)
-    bands.unpersist()
+      .finishIf()
+    bands.unpersistIf()
     out
   }
 
@@ -186,19 +201,7 @@ object Multimodal {
     * the L1 verify) — the quantity the scale claim is about; exposed
     * for the PlanAudit quadratic-candidate guard. */
   private[graft] def percepCandidateCount(docs: DataFrame): Long = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val bands = docs.select(col("doc_id"), col("payload")).as[BinDoc]
-      .flatMap { d =>
-        val sig = dhash64(contentHist(d.payload))
-        (0 until PercepBands).map(i =>
-          (d.doc_id, i, (sig >>> (i * BandBits)) & ((1L << BandBits) - 1)))
-      }
-      .toDF("doc_id", "band", "chunk")
-    val kept = bands.join(broadcast(
-      bands.groupBy("band", "chunk").count()
-        .filter(col("count") <= MaxBucket).select("band", "chunk")),
-      Seq("band", "chunk"))
+    val kept = capBuckets(bandRows(docs)).select("doc_id", "band", "chunk")
     kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))

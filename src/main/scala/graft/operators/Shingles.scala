@@ -62,17 +62,30 @@ object Shingles {
     out
   }
 
-  /** The NON-OVERLAPPING k-word block hashes of one document, one per
-    * block POSITION (within-doc repeats preserved; docs ≤ k words are
-    * one whole-text block — the same short-doc convention as
-    * [[docShingleSet]]). The single definition d10's batch audit and
-    * st16's streaming screen share, so the block convention cannot
-    * drift between the batch and stream paths. */
+  /** The k-word block hashes of one document, one per block POSITION
+    * (within-doc repeats preserved; docs ≤ k words are one whole-text
+    * block — the same short-doc convention as [[docShingleSet]]):
+    * ⌊len/k⌋ non-overlapping full blocks, plus — when the length is
+    * not block-aligned — the FINAL k-word window as a tail block, so
+    * trailing words are screened too (a k-wide window, not the bare
+    * remainder, keeps block selectivity uniform; a 2-word tail block
+    * would collide constantly). Block hashing is inherently
+    * offset-ALIGNED — the same span pasted at a different word offset
+    * lands in different blocks; that is the block-vs-suffix-array
+    * tradeoff (Lee et al. use suffix arrays), and the shifted-span
+    * case is what d2/d7's OVERLAPPING shingles cover. The single
+    * definition d10's batch audit and st16's streaming screen share,
+    * so the block convention cannot drift between the batch and
+    * stream paths. */
   def docBlocks(text: String, k: Int): Array[Long] = {
     val w = text.split(" ")
     if (w.length <= k) Array(fnv1a64(w.mkString(" ")))
-    else Array.tabulate(w.length / k)(i =>
-      fnv1a64(w.slice(i * k, (i + 1) * k).mkString(" ")))
+    else {
+      val full = Array.tabulate(w.length / k)(i =>
+        fnv1a64(w.slice(i * k, (i + 1) * k).mkString(" ")))
+      if (w.length % k == 0) full
+      else full :+ fnv1a64(w.slice(w.length - k, w.length).mkString(" "))
+    }
   }
 
   /** Distinct k-word-shingle hashes per doc: (doc_id, g), via

@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.VectorOps
 import graft.ml.ProductQuantizer
+import graft.Exec._
 
 /** Similarity search over embeddings (SURVEY.md §2.E).
   *
@@ -122,10 +123,16 @@ object Similarity {
   private val Bits = 4
   private[graft] val MaxBits = 12
   private val Dim = 64
-  private lazy val planes: Array[Array[Array[Double]]] = {
-    val rng = new scala.util.Random(99L)
-    Array.fill(Tables8, MaxBits, Dim)(rng.nextGaussian())
-  }
+  /** Each (table, bit) plane draws from its OWN seeded stream, so the
+    * plane set is independent of MaxBits — growing the plane budget
+    * can never silently re-deal the hyperplanes an existing signature
+    * / recall floor was validated against (it did once, when a shared
+    * sequential RNG was re-shaped; this fixes the class). */
+  private lazy val planes: Array[Array[Array[Double]]] =
+    Array.tabulate(Tables8, MaxBits) { (t, b) =>
+      val rng = new scala.util.Random(99L + t * 1000L + b)
+      Array.fill(Dim)(rng.nextGaussian())
+    }
 
   /** bits ≈ log2(n / targetBucket), floored at the fixed-dial 4 and
     * capped by the plane budget — keeps expected bucket size (and so
@@ -206,8 +213,14 @@ object Similarity {
 
   /** Generic core of [[s6KnnGraph]] over any (vec_id, embedding)
     * frame. */
-  def knnGraph(vectors: DataFrame, k: Int = 5,
-      targetBucket: Int = 64): DataFrame = {
+  /** The bucketing stage of [[knnGraph]] — the ONE definition of its
+    * candidate generation (adaptive bits from a corpus count, bucket
+    * explode, same-bucket self-join, distinct directed pairs). The
+    * operator and its PlanAudit candidate-volume guard both call
+    * this, so the guard can never drift from what the operator
+    * actually plans. */
+  private[graft] def knnCandidates(vectors: DataFrame,
+      targetBucket: Int): DataFrame = {
     val s = vectors.sparkSession
     import s.implicits._
     val e = vectors.select(col("vec_id"), col("embedding"))
@@ -215,10 +228,16 @@ object Similarity {
     val b = e.as[(Long, Seq[Float])]
       .flatMap { case (id, v) => buckets(v, bits).map { case (t, bk) => (id, t, bk) } }
       .toDF("id", "t", "bk")
-    val cand = b.select(col("id").as("qid"), col("t"), col("bk"))
+    b.select(col("id").as("qid"), col("t"), col("bk"))
       .join(b.select(col("id").as("cid"), col("t"), col("bk")), Seq("t", "bk"))
       .filter(col("qid") =!= col("cid"))
       .select("qid", "cid").distinct()
+  }
+
+  def knnGraph(vectors: DataFrame, k: Int = 5,
+      targetBucket: Int = 64): DataFrame = {
+    val e = vectors.select(col("vec_id"), col("embedding"))
+    val cand = knnCandidates(e, targetBucket)
     val q = e.select(col("vec_id").as("qid"), col("embedding").as("eq"),
       sqrt(VectorOps.normSq(col("embedding"))).as("qn"))
     val c = e.select(col("vec_id").as("cid"), col("embedding").as("ec"),
@@ -232,24 +251,14 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  /** Distinct candidate-pair count of [[knnGraph]]'s bucketing stage
-    * (before exact scoring) — the quantity the near-linear scale claim
-    * is about; exposed for the PlanAudit quadratic-candidate guard. */
+  /** Distinct unordered candidate-pair count of [[knnCandidates]] —
+    * the quantity the near-linear scale claim is about; used by the
+    * PlanAudit quadratic-candidate guard. */
   private[graft] def knnCandidateCount(vectors: DataFrame,
-      targetBucket: Int = 64): Long = {
-    val s = vectors.sparkSession
-    import s.implicits._
-    val e = vectors.select(col("vec_id"), col("embedding"))
-    val bits = adaptiveBits(e.count(), targetBucket)
-    val b = e.as[(Long, Seq[Float])]
-      .flatMap { case (id, v) => buckets(v, bits).map { case (t, bk) => (id, t, bk) } }
-      .toDF("id", "t", "bk")
-    b.select(col("id").as("qid"), col("t"), col("bk"))
-      .join(b.select(col("id").as("cid"), col("t"), col("bk")), Seq("t", "bk"))
+      targetBucket: Int = 64): Long =
+    knnCandidates(vectors, targetBucket)
       .filter(col("qid") < col("cid"))
-      .select("qid", "cid").distinct()
       .count()
-  }
 
   /** s3_ivf — IVF (inverted-file) ANN: KMeans partitions the corpus
     * into nlist=16 cells; each query probes only its nprobe=6 nearest
@@ -276,13 +285,13 @@ object Similarity {
     val trainFrac = math.min(1.0, 100000.0 / math.max(n, 1L))
     val train = Sampling.uniform(corpus, col("vec_id"), trainFrac)
       .select(array_to_vector(col("embedding")).as("features"))
-      .coalesce(8).cache()
+      .coalesce(8).cacheIf()
     // random init: k-means|| spends ~2 extra passes (several jobs)
     // picking seeds — pointless for a coarse quantizer on a bounded
     // cached sample, where 10 Lloyd iterations converge either way
     val model = new KMeans().setK(16).setSeed(7L).setMaxIter(10)
       .setInitMode("random").fit(train)
-    train.unpersist()
+    train.unpersistIf()
     val centers = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
     val nearestCells = udf((v: Seq[Float], n: Int) =>
       centers.value.zipWithIndex.map { case (ctr, ci) =>

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.PortableHash
+import graft.Exec._
 
 /** Text analysis for LLM-data pipelines (SURVEY.md §2.F), over the
   * `documents` table. Quality/token metrics are pure column arithmetic
@@ -372,10 +373,10 @@ object TextOps {
     val words = lmWords(docs)
     // cached: feeds the total, the head pull and the tail join —
     // without it the word-count aggregate runs three times
-    val counts = words.groupBy("word").count().cache()
+    val counts = words.groupBy("word").count().cacheIf()
     val total = counts.agg(sum("count")).head.getLong(0)
-    val out = lmScorePlan(words, counts, total, headK).localCheckpoint(true)
-    counts.unpersist()
+    val out = lmScorePlan(words, counts, total, headK).finishIf()
+    counts.unpersistIf()
     out
   }
 

@@ -23,6 +23,37 @@ class PlanAuditSpec extends SparkSpec {
     p +: kids.flatMap(allNodes)
   }
 
+  /** [[allNodes]] that additionally descends INTO cached relations
+    * (each distinct relation once) — caches are part of the plan
+    * shape, and what is under them must be auditable too. */
+  private def allNodesThroughCaches(p: SparkPlan): Seq[SparkPlan] = {
+    val seen = scala.collection.mutable.Set[Int]()
+    def walk(n: SparkPlan): Seq[SparkPlan] = {
+      val kids = n match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          val cp = im.relation.cachedPlan
+          if (seen.add(System.identityHashCode(cp))) Seq(cp) else Nil
+        case other => other.children ++ other.subqueries
+      }
+      n +: kids.flatMap(walk)
+    }
+    walk(p)
+  }
+
+  /** Run `body` with the library's materialize wrappers disabled
+    * (graft.Exec): operators return their FULL plans instead of
+    * checkpointed LogicalRDD scans, and keep their caches registered
+    * so cache boundaries stay part of the inspected shape. Restores
+    * the flag and clears the accumulated cache afterwards. */
+  private def withFullPlans[T](body: => T): T = {
+    spark.conf.set(Exec.Key, "false")
+    try body finally {
+      spark.conf.set(Exec.Key, "true")
+      spark.catalog.clearCache()
+    }
+  }
+
   /** BroadcastNestedLoopJoin is pathological when the build side is
     * unbounded (it once broadcast half the embeddings corpus in d5) —
     * but it is exactly right when the build side is a KNOWN-BOUNDED
@@ -34,12 +65,17 @@ class PlanAuditSpec extends SparkSpec {
     "s7_hard_negatives" -> "broadcast(query vectors, ≤k rows) × corpus scan with label-mismatch predicate — linear by design")
 
   test("no SparkEntry query plans a CartesianProduct or BroadcastNestedLoopJoin") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.executedPlan
-      allNodes(plan).collect {
-        case _: CartesianProductExec => s"$name: CartesianProduct"
-        case _: BroadcastNestedLoopJoinExec if !bnljAllowed.contains(name) =>
-          s"$name: BroadcastNestedLoopJoin"
+    // full-plan mode: without it the dedup/ML family returns
+    // checkpointed LogicalRDD scans and their join shapes would be
+    // invisible to this audit
+    val offenders = withFullPlans {
+      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.executedPlan
+        allNodesThroughCaches(plan).collect {
+          case _: CartesianProductExec => s"$name: CartesianProduct"
+          case _: BroadcastNestedLoopJoinExec if !bnljAllowed.contains(name) =>
+            s"$name: BroadcastNestedLoopJoin"
+        }
       }
     }
     assert(offenders.isEmpty,
@@ -69,14 +105,22 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("e17's ensemble reads the events fact at most twice (cached projection, not 4 rescans)") {
-    val plan = SparkEntry.queries("e17_ensemble")(spark, sf)
-      .queryExecution.executedPlan
-    val factScans = allNodes(plan).collect {
-      case s: FileSourceScanExec
-          if s.metadata.get("Location").exists(_.contains("events")) => s
+    withFullPlans {
+      val plan = SparkEntry.queries("e17_ensemble")(spark, sf)
+        .queryExecution.executedPlan
+      // distinct events file scans, counting each cached relation's
+      // internal scan ONCE (the cache is the mechanism of the
+      // single-scan claim; without full-plan mode this plan is an
+      // opaque checkpoint scan and the assertion would be vacuous)
+      val factScans = allNodesThroughCaches(plan).collect {
+        case s: FileSourceScanExec
+            if s.metadata.get("Location").exists(_.contains("events")) => s
+      }
+      assert(factScans.nonEmpty,
+        "full-plan mode must expose e17's real scans to this audit")
+      assert(factScans.size <= 2,
+        s"e17 must not rescan the events fact per detector, found ${factScans.size} scans")
     }
-    assert(factScans.size <= 2,
-      s"e17 must not rescan the events fact per detector, found ${factScans.size} scans")
   }
 
   // ---- quadratic-candidate guards ----------------------------------

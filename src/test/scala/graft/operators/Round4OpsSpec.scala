@@ -48,7 +48,12 @@ class Round4OpsSpec extends SparkSpec {
     def blocks(t: String): Seq[String] = {
       val w = t.split(" ")
       if (w.length <= 10) Seq(w.mkString(" "))
-      else (0 until w.length / 10).map(i => w.slice(i * 10, (i + 1) * 10).mkString(" "))
+      else {
+        val full = (0 until w.length / 10)
+          .map(i => w.slice(i * 10, (i + 1) * 10).mkString(" "))
+        if (w.length % 10 == 0) full
+        else full :+ w.slice(w.length - 10, w.length).mkString(" ")
+      }
     }
     val all = docs.flatMap { case (id, t) => blocks(t).map(id -> _) }
     val dup = all.groupBy(_._2).filter(_._2.length >= 2).keySet
@@ -77,6 +82,17 @@ class Round4OpsSpec extends SparkSpec {
     // doc-level Jaccard misses the pair entirely (1 of 5+ shingle
     // blocks shared → far below 0.5)
     assert(Dedup.ngramJaccard(crafted).collect().isEmpty)
+    // tail coverage: boilerplate at the END of non-block-aligned docs
+    // is caught by the final k-word tail window (it would be silently
+    // dropped if only floor(len/k) full blocks were emitted)
+    val tailBoiler = (1 to 10).map(i => s"tb$i").mkString(" ")
+    val tailDocs = Seq(
+      (1L, ((1 to 15).map(i => s"xa$i") :+ tailBoiler).mkString(" ")),
+      (2L, ((1 to 17).map(i => s"xb$i") :+ tailBoiler).mkString(" "))).toDF("doc_id", "text")
+    val tailRows = Dedup.blockDedup(tailDocs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tailRows(1L) >= 1L && tailRows(2L) >= 1L,
+      "shared tail boilerplate must be flagged in both docs")
   }
 
   test("t13_normalize groups case/punctuation/whitespace variants under one keeper") {

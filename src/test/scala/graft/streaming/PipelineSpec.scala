@@ -59,12 +59,15 @@ class PipelineSpec extends SparkSpec {
       .map(f => (f.ts, f.plant_type)).sorted.toSeq
     val values = Pipeline.toKafkaValue(Generator.telemetry(
       spark.range(n).toDF("value"))).as[String].collect()
-    // AvailableNow: drain the backlog in rate-capped batches, then stop
+    // AvailableNow: drain the whole backlog, then stop. (The VOLUME
+    // dial — maxOffsetsPerTrigger / rowsPerSecond — applies at the
+    // SOURCE (fromKafka / rateSource), which MemoryStream is not; this
+    // test exercises the writer-side CADENCE dial only.)
     val in = MemoryStream[String]
     in.addData(values.toIndexedSeq)
     val q = Pipeline.startControlled(
       Pipeline.detect(in.toDF()), "rc_avail",
-      RateControl(availableNow = true, maxOffsetsPerTrigger = Some(500)))
+      RateControl(availableNow = true))
     assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
     val gotAvail = spark.table("rc_avail").collect()
       .map(r => (r.getTimestamp(0), r.getString(1))).sorted.toSeq
