@@ -79,14 +79,18 @@ object SparkEntry {
     "i8_token_budget" -> ((s, d) => Sampling.i8TokenBudget(s, d)),
     "q12_grouping_sets" -> (Analytics.q12GroupingSets _),
     "q13_window_suite" -> (Analytics.q13WindowSuite _),
+    "q14_pivot" -> (Analytics.q14Pivot _),
     "e16_correlation" -> (EventOps.e16Correlation _),
     "e17_ensemble" -> (EventOps.e17Ensemble _),
+    "e18_window_drift" -> ((s, d) => EventOps.e18WindowDrift(s, d)),
+    "a6_holt" -> (AnomalyML.a6Holt _),
     // rows-only ops (hash/ML-algorithm-defined; spec-tested, no SQL oracle)
     "q11_approx_distinct" -> (Analytics.q11ApproxDistinct _),
     "e14_approx_quantile" -> (Analytics.e14ApproxQuantile _),
     "t11_heavy_hitters" -> (TextOps.t11HeavyHitters _),
     "t12_lm_quality" -> (TextOps.t12LmQuality _),
     "t13_normalize" -> (TextOps.t13Normalize _),
+    "d11_semdedup" -> (Dedup.d11SemDedup _),
     "d3_minhash_lsh" -> (DedupApprox.d3MinhashLsh _),
     "s2_ann_lsh" -> (Similarity.s2AnnLsh _),
     "t1_langid" -> (TextOps.t1Langid _),

@@ -157,6 +157,32 @@ object Analytics {
     * share the single sort. The ORDER BY carries a full unique
     * tiebreak (orderkey, linenumber) so rank ties cannot exist and
     * both engines agree bit-for-bit. [sql-oracle]. */
+  /** q14_pivot — the `groupBy().pivot()` API surface: order-value totals
+    * per nation pivoted across the five order priorities (wide
+    * report-table shape). The pivot values are EXPLICIT — at scale an
+    * implicit pivot runs an extra distinct-collect job over the fact
+    * and caps silently at spark.sql.pivotMaxValues; with literals the
+    * plan is a single two-phase hash aggregate (map-side partials on
+    * (nation, priority), then one width-5 reshape — no fact rescan,
+    * no collect). orders⋈customer is a projected shuffle hash join
+    * (customer GROWS with SF — not broadcast; q3's discipline), nation
+    * broadcasts; sums are exact decimal per the q1 discipline.
+    * [sql-oracle] (conditional aggregates — the algebraic identity of
+    * pivot). */
+  def q14Pivot(s: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .pivot("o_orderpriority", priorities)
+      .agg(dsum(col("o_totalprice")))
+      .orderBy("n_name")
+  }
+
   def q13WindowSuite(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_returnflag")
       .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
@@ -259,6 +285,21 @@ object Analytics {
   /** DuckDB oracle SQL for §2.A — constructed with the same decimal
     * intermediates / expression shapes as the DataFrame plans above. */
   val oracle: Map[String, String] = Map(
+    "q14_pivot" ->
+      """SELECT n_name,
+        | CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS "1-URGENT",
+        | CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS "2-HIGH",
+        | CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS "3-MEDIUM",
+        | CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS "4-NOT SPECIFIED",
+        | CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS "5-LOW"
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q13_window_suite" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
         | CAST(NTILE(4) OVER w AS INTEGER) AS quartile,

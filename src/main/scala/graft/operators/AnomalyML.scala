@@ -28,6 +28,10 @@ case class EwmaRow(event_id: Long, user_id: Long, value: Double,
 case class EwmaKeyRow(event_id: Long, key: String, value: Double,
     ewma: Double, resid: Double)
 
+/** Holt level+trend output row ([[AnomalyML.a6Holt]]). */
+case class HoltRow(event_id: Long, user_id: Long, value: Double,
+    level: Double, trend: Double, resid: Double)
+
 /** ML anomaly operators (SURVEY.md §2.C) — the reference's Isolation
   * Forest surface (app3_ML.py:143-182) rebuilt for Spark's execution
   * model: bounded deterministic per-entity sample → driver fit →
@@ -163,14 +167,30 @@ object AnomalyML {
     * back broadcast; the sequential scan is the same secondary-sort +
     * O(1)-state mapPartitions shape as a2 — no per-key materialization,
     * a hot key streams through. */
+  /** Engine-stable per-key CUSUM baseline: decimal-exact population
+    * mean/σ. A plain double `avg`/`stddev_pop` depends on partition
+    * summation order and differs across engines in the last ulps —
+    * fine for a self-oracle, fatal for the DuckDB hash oracle; the
+    * decimal-sum formula (the statsByKey discipline) is bit-identical
+    * everywhere, which is what made a4's r4 oracle conversion
+    * possible. */
+  private def cusumStats(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    base.groupBy("key").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast(DecimalType(28, 10))).cast("double").as("s2"))
+      .select(col("key"), (col("s1") / col("n")).as("mean"),
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n")).as("sd"))
+  }
+
   def cusum(df: DataFrame, keyCol: Column, idCol: Column, tsCol: Column,
       valCol: Column, slackK: Double = 0.5, alarmH: Double = 5.0): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val base = df.select(keyCol.cast("string").as("key"), idCol.as("event_id"),
       tsCol.cast("long").as("secs"), valCol.cast("double").as("value"))
-    val stats = base.groupBy("key")
-      .agg(avg("value").as("mean"), stddev_pop(col("value")).as("sd"))
+    val stats = cusumStats(base)
     base.join(broadcast(stats), "key")
       .select(col("key"), col("event_id"), col("secs"), col("value"),
         col("mean"), col("sd"))
@@ -261,8 +281,7 @@ object AnomalyML {
     import s.implicits._
     val base0 = df.select(keyCol.cast("string").as("key"), idCol.as("event_id"),
       tsCol.cast("long").as("secs"), valCol.cast("double").as("value"))
-    val stats = base0.groupBy("key")
-      .agg(avg("value").as("mean"), stddev_pop(col("value")).as("sd"))
+    val stats = cusumStats(base0)
     val Row(minS: Long, maxS: Long) =
       base0.agg(min("secs"), max("secs")).collect()(0)
     val span = math.max(1L, maxS - minS + 1)
@@ -468,6 +487,58 @@ object AnomalyML {
       .orderBy("event_id")
   }
 
+  /** a6_holt — Holt double-exponential smoothing (level α=0.3, trend
+    * β=0.1) + one-step-ahead forecast residuals per user: where a2's
+    * single EWMA lags behind any sustained ramp (its residuals stay
+    * biased for the ramp's whole duration), Holt carries an explicit
+    * trend term, so drifting series forecast clean and only LEVEL
+    * BREAKS leave residuals — the trend-aware upgrade of the
+    * reference's smoothing-residual idea. Recurrence per row (state
+    * seeded l=v, b=0 at each key start, forecast-then-update):
+    * f = l + b; resid = v − f; l' = α·v + (1−α)·(l+b);
+    * b' = β·(l'−l) + (1−β)·b.
+    *
+    * Scale shape: identical to a2 — repartition on the key,
+    * secondary-sort, O(1) carried state (two doubles), no per-key
+    * materialization. [sql-oracle] via the a2 discipline: a recursive
+    * CTE replays the identical float sequence (same literals, same op
+    * order — b' inlines l' textually, which IEEE-deterministically
+    * equals the Scala two-step). */
+  def a6Holt(s: SparkSession, dir: String): DataFrame =
+    holt(Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("ts").cast("long").as("secs")))
+
+  /** Generic core of [[a6Holt]] over any (event_id, user_id, value,
+    * secs) frame. */
+  def holt(ev: DataFrame, alpha: Double = 0.3,
+      beta: Double = 0.1): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "secs", "event_id")
+      .as[EventRow]
+      .mapPartitions { it =>
+        var cur = Long.MinValue
+        var l = 0.0
+        var b = 0.0
+        it.map { r =>
+          if (r.user_id != cur) { cur = r.user_id; l = r.value; b = 0.0 }
+          val f = l + b
+          val resid = r.value - f
+          val lNew = alpha * r.value + (1 - alpha) * (l + b)
+          b = beta * (lNew - l) + (1 - beta) * b
+          l = lNew
+          HoltRow(r.event_id, r.user_id, r.value,
+            math.rint(l * 1e6) / 1e6, math.rint(b * 1e6) / 1e6,
+            math.rint(resid * 1e6) / 1e6)
+        }
+      }
+      .toDF()
+      .orderBy("event_id")
+  }
+
   /** a5_mahalanobis — multivariate outliers per event_type: Mahalanobis
     * distance of the (value, k) feature pair against the group's own
     * mean vector and 2×2 covariance, flagging d² > 9 (≈1% tail for
@@ -517,6 +588,107 @@ object AnomalyML {
   }
 
   val oracle: Map[String, String] = Map(
+    // a2's recurrence is SQL-expressible after all: a recursive CTE
+    // stepping rn → rn+1 per key replays the identical float sequence
+    // (same literals, same op order — 0.3·v + (1 − 0.3)·ew, first row
+    // seeded ew = v with resid = v − v), and round_even(x·10⁶)/10⁶ is
+    // DuckDB's spelling of math.rint(x·1e6)/1e6. Converted from
+    // [rows-only] in r4; bit-exact at sf0.01 AND sf0.1 (verified
+    // before conversion). Recursion depth = max rows/key (~86 at
+    // sf0.01) — cheap for the oracle's test scale.
+    "a2_ewma" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT event_id, user_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY epoch(date_trunc('second', ts)), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, user_id, value, rn,
+        |         value - value AS resid,
+        |         0.3 * value + (1 - 0.3) * value AS ew
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.event_id, t.user_id, t.value, t.rn,
+        |         t.value - r.ew, 0.3 * t.value + (1 - 0.3) * r.ew
+        |  FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+        |SELECT event_id, user_id, value,
+        |       round_even(ew * 1000000, 0) / 1000000 AS ewma,
+        |       round_even(resid * 1000000, 0) / 1000000 AS resid
+        |FROM r ORDER BY event_id""".stripMargin,
+    // a6 replays the Holt recurrence the a2 way; b's step inlines l's
+    // just-computed expression textually (SQL can't reference a sibling
+    // alias), which IEEE-deterministically equals the Scala two-step
+    // (same expression over the same inputs → same bits). First row
+    // carries the seeded (l=v, b=0) state through the SAME step
+    // arithmetic, `(value + 0.0)` spelling Scala's l+b with b=0.
+    "a6_holt" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT event_id, user_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY epoch(date_trunc('second', ts)), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT event_id, user_id, value, rn,
+        |         value - (value + 0.0) AS resid,
+        |         0.3 * value + (1 - 0.3) * (value + 0.0) AS l,
+        |         0.1 * ((0.3 * value + (1 - 0.3) * (value + 0.0)) - value)
+        |           + (1 - 0.1) * 0.0 AS b
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.event_id, t.user_id, t.value, t.rn,
+        |         t.value - (r.l + r.b),
+        |         0.3 * t.value + (1 - 0.3) * (r.l + r.b),
+        |         0.1 * ((0.3 * t.value + (1 - 0.3) * (r.l + r.b)) - r.l)
+        |           + (1 - 0.1) * r.b
+        |  FROM t JOIN r ON t.user_id = r.user_id AND t.rn = r.rn + 1)
+        |SELECT event_id, user_id, value,
+        |       round_even(l * 1000000, 0) / 1000000 AS level,
+        |       round_even(b * 1000000, 0) / 1000000 AS trend,
+        |       round_even(resid * 1000000, 0) / 1000000 AS resid
+        |FROM r ORDER BY event_id""".stripMargin,
+    // a4's reset-on-alarm recurrence converts like a2: the recursive
+    // CTE carries the PRE-reset accumulators (pos0/neg0) and applies
+    // the reset lazily in the next step's CASE — the exact order the
+    // Scala scan uses (emit from pre-reset state, then reset). The
+    // per-key baseline is the decimal-exact mean/σ (cusumStats), which
+    // is what makes the recurrence's inputs engine-stable. Converted
+    // from [rows-only] in r4.
+    "a4_cusum_drift" ->
+      """WITH RECURSIVE
+        |st AS (SELECT event_type AS key, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2
+        | FROM events GROUP BY event_type),
+        |sx AS (SELECT key, s1 / n AS mean, sqrt((s2 - s1 * s1 / n) / n) AS sd
+        |       FROM st),
+        |t AS (SELECT e.event_id, sx.key, e.value, sx.mean, sx.sd,
+        |        ROW_NUMBER() OVER (PARTITION BY sx.key
+        |          ORDER BY epoch(date_trunc('second', e.ts)), e.event_id) AS rn
+        |      FROM events e JOIN sx ON e.event_type = sx.key),
+        |r AS (
+        |  SELECT event_id, key, value, mean, sd, rn,
+        |    GREATEST(0.0, 0.0 + (value - mean - 0.5 * sd)) AS pos0,
+        |    LEAST(0.0, 0.0 + (value - mean + 0.5 * sd)) AS neg0
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.event_id, t.key, t.value, t.mean, t.sd, t.rn,
+        |    GREATEST(0.0, (CASE WHEN r.sd > 0 AND r.pos0 > 5.0 * r.sd
+        |                        THEN 0.0 ELSE r.pos0 END)
+        |                  + (t.value - t.mean - 0.5 * t.sd)),
+        |    LEAST(0.0, (CASE WHEN r.sd > 0 AND r.neg0 < -(5.0 * r.sd)
+        |                     THEN 0.0 ELSE r.neg0 END)
+        |               + (t.value - t.mean + 0.5 * t.sd))
+        |  FROM t JOIN r ON t.key = r.key AND t.rn = r.rn + 1),
+        |a AS (
+        |  SELECT event_id, key, value, 'up' AS side,
+        |         round_even(pos0 / sd * 1000000, 0) / 1000000 AS stat
+        |  FROM r WHERE sd > 0 AND pos0 > 5.0 * sd
+        |  UNION ALL
+        |  SELECT event_id, key, value, 'down',
+        |         round_even(-neg0 / sd * 1000000, 0) / 1000000
+        |  FROM r WHERE sd > 0 AND neg0 < -(5.0 * sd))
+        |SELECT event_id, key, value, side, stat FROM a
+        |ORDER BY event_id, side""".stripMargin,
     "a5_mahalanobis" ->
       """WITH g AS (SELECT event_id, event_type, value AS x,
         |  CAST(CAST(regexp_extract(props, '[0-9]+', 0) AS INTEGER) AS DOUBLE) AS y

@@ -416,6 +416,103 @@ object Dedup {
       .filter(col("count") >= 2).select("g")
   }
 
+  /** Cluster assignment stage of [[semDedup]] — the ONE definition of
+    * its candidate generation (bounded-sample KMeans fit, broadcast
+    * centroids, nearest-centroid narrow map). The operator and its
+    * PlanAudit candidate-volume guard both call this, so the guard
+    * measures exactly what the operator plans. Returns
+    * (vec_id, embedding, cl). */
+  private[graft] def semClusters(e: DataFrame,
+      targetCluster: Int = 64): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val s = e.sparkSession
+    val vecs = e.select(col("vec_id"), col("embedding"))
+    val n = vecs.count()
+    // k scales WITH the corpus (expected cluster size ≈ targetCluster
+    // regardless of n) — the dial that keeps Σ size² near-linear; a
+    // fixed k would make clusters, and the within-cluster pair space,
+    // grow quadratically with the corpus (the s6 r3 lesson).
+    val k = math.max(4L, math.min(65536L, n / targetCluster)).toInt
+    val trainFrac = math.min(1.0, 100000.0 / math.max(n, 1L))
+    val train = Sampling.uniform(vecs, col("vec_id"), trainFrac)
+      .select(array_to_vector(col("embedding")).as("features"))
+      .coalesce(8).cacheIf()
+    // random init on the bounded cached sample (the s3/a3 fit regime):
+    // k-means|| seeding spends extra passes a coarse partitioner
+    // doesn't need.
+    val model = new KMeans().setK(k).setSeed(7L).setMaxIter(10)
+      .setInitMode("random").fit(train)
+    train.unpersistIf()
+    val centers = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
+    val nearest = udf((v: Seq[Float]) => {
+      val cs = centers.value
+      var best = 0
+      var bd = Double.MaxValue
+      var ci = 0
+      while (ci < cs.length) {
+        val ctr = cs(ci)
+        var d = 0.0
+        var i = 0
+        while (i < ctr.length) { val df = v(i) - ctr(i); d += df * df; i += 1 }
+        if (d < bd) { bd = d; best = ci }
+        ci += 1
+      }
+      best
+    })
+    vecs.withColumn("cl", nearest(col("embedding")))
+  }
+
+  /** Semantic dedup pairs (SemDeDup, Abbas et al. 2023): KMeans
+    * clusters the embedding space, and near-dup search runs ONLY
+    * within each cluster — the cluster id is the equi-join key, so the
+    * pair space is Σ size² ≈ n·targetCluster (near-linear, k scales
+    * with n via [[semClusters]]) instead of d5's n²/2. The exact
+    * cosine + threshold on surviving candidates means every emitted
+    * pair is a TRUE ≥ minCos pair (d5 ⊇ d11 with equal cos values);
+    * what the approximation trades away is recall on pairs KMeans
+    * separates — near-identical vectors land in the same cell with
+    * high probability (spec: planted-dup recall), weakly-similar ones
+    * may not. This is the 100 TB form of d5 for semantic (embedding-
+    * space) dedup, exactly as d3/d4 are for lexical dedup.
+    *
+    * [rows-only]: the KMeans fit is not SQL-expressible. Specs pin
+    * (a) subset-of-d5 with bit-equal cosines, (b) planted-dup recall,
+    * (c) the candidate-volume bound (PlanAudit, via [[semClusters]]). */
+  def semDedup(e: DataFrame, minCos: Double = 0.45,
+      targetCluster: Int = 64): DataFrame = {
+    val cl = semClusters(e, targetCluster)
+    val a = cl.select(col("cl"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = cl.select(col("cl"), col("vec_id").as("b"), col("embedding").as("eb"))
+    a.join(b, "cl")
+      .filter(col("a") < col("b"))
+      .withColumn("cos", VectorOps.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= minCos)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+      .orderBy("a", "b")
+  }
+
+  /** d11_semdedup — [[semDedup]] on the embeddings table at d5's
+    * threshold, so the subset/recall relation between the exact twin
+    * and the clustered approximation is directly measurable. */
+  def d11SemDedup(s: SparkSession, dir: String): DataFrame =
+    semDedup(Tables.spread(s, Tables.embeddings(s, dir)))
+
+  /** Within-cluster candidate-pair count of [[semClusters]] — the
+    * quantity the near-linear scale claim is about; used by the
+    * PlanAudit quadratic-candidate guard. */
+  private[graft] def semDedupCandidateCount(e: DataFrame,
+      targetCluster: Int = 64): Long = {
+    val sizes = semClusters(e, targetCluster).groupBy("cl").count()
+    sizes.agg(sum(col("count") * (col("count") - 1) / 2))
+      .collect()(0).getAs[Any](0) match {
+        case null => 0L
+        case d: java.math.BigDecimal => d.longValue()
+        case l: Long => l
+        case d: Double => d.toLong
+      }
+  }
+
   /** Shared DuckDB CTE: explode embeddings to (vec_id, position, value)
     * with double-cast values — mirrors VectorOps' double-precision math. */
   private val explodeCte =

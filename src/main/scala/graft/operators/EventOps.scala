@@ -351,7 +351,82 @@ object EventOps {
     out
   }
 
+  /** e18_window_drift — two-sample sliding mean-shift scan per key
+    * (changepoint LOCALIZATION): at every event, compare the mean of
+    * the W rows ending just before it against the mean of the W rows
+    * starting at it, and rank the largest |after − before| level moves
+    * per key. Complements a4's CUSUM: CUSUM integrates small sustained
+    * drift from a fixed baseline (detects THAT the level moved), the
+    * two-window scan is local and baseline-free (localizes WHERE it
+    * moved, and again on every subsequent shift without the
+    * reset-on-alarm recurrence that makes CUSUM sequential).
+    *
+    * Scale: bounded ±W row frames per key — e3's class: one hash
+    * partition per key, no global sort, no unbounded frame. The window
+    * sums are exact decimal (frame-order-independent), the shift score
+    * is identical double arithmetic on both engines, and the per-key
+    * top-20 rides TopKPerGroup's bounded heaps, not a full-sort window
+    * rank. [sql-oracle]. */
+  def e18WindowDrift(s: SparkSession, dir: String, w: Int = 50,
+      topK: Int = 20): DataFrame =
+    windowDrift(Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        col("ts").cast("long").as("secs"), col("value")), w, topK)
+
+  /** The full-window shift scan of [[windowDrift]] (every row with W
+    * complete rows on each side, unranked) — the stage the st17
+    * streaming twin replays row-for-row. */
+  def driftScan(ev: DataFrame, w: Int = 50): DataFrame = {
+    val ord = Window.partitionBy("event_type").orderBy("secs", "event_id")
+    val before = ord.rowsBetween(-w, -1)
+    val after = ord.rowsBetween(0, w - 1)
+    val dec = DecimalType(18, 6)
+    ev
+      .withColumn("nb", count(lit(1)).over(before))
+      .withColumn("na", count(lit(1)).over(after))
+      .withColumn("sb", sum(col("value").cast(dec)).over(before).cast("double"))
+      .withColumn("sa", sum(col("value").cast(dec)).over(after).cast("double"))
+      .filter(col("nb") === w && col("na") === w)
+      .withColumn("shift", col("sa") / col("na") - col("sb") / col("nb"))
+  }
+
+  /** Generic core of [[e18WindowDrift]] over any
+    * (event_id, event_type, secs, value) frame. */
+  def windowDrift(ev: DataFrame, w: Int = 50, topK: Int = 20): DataFrame = {
+    graft.plans.TopKPerGroup.perKey(driftScan(ev, w),
+        Seq(col("event_type")),
+        Seq(abs(col("shift")).desc, col("event_id")), topK)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("shift"), 6).as("shift"), col("rank").as("rn"))
+      .orderBy("event_type", "rn")
+  }
+
   val oracle: Map[String, String] = Map(
+    "e18_window_drift" ->
+      """WITH t AS (SELECT event_id, event_type,
+        |    epoch(date_trunc('second', ts)) AS secs, value FROM events),
+        |w AS (SELECT event_id, event_type, value,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY secs, event_id
+        |      ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING) AS nb,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY secs, event_id
+        |      ROWS BETWEEN CURRENT ROW AND 49 FOLLOWING) AS na,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |      PARTITION BY event_type ORDER BY secs, event_id
+        |      ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS sb,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |      PARTITION BY event_type ORDER BY secs, event_id
+        |      ROWS BETWEEN CURRENT ROW AND 49 FOLLOWING) AS DOUBLE) AS sa
+        |  FROM t),
+        |d AS (SELECT event_id, event_type, value,
+        |        sa / na - sb / nb AS shift
+        |      FROM w WHERE nb = 50 AND na = 50),
+        |r AS (SELECT event_id, event_type, value, shift,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type
+        |          ORDER BY abs(shift) DESC, event_id) AS rn
+        |      FROM d)
+        |SELECT event_id, event_type, value,
+        |       ROUND(shift, 6) AS shift, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 20 ORDER BY event_type, rn""".stripMargin,
     "e17_ensemble" ->
       s"""WITH $zStatsCte,
          |z5 AS (SELECT e.event_id FROM events e JOIN st USING(event_type)

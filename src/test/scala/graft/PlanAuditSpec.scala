@@ -179,6 +179,29 @@ class PlanAuditSpec extends SparkSpec {
       s"d9 candidate volume degenerated: $cand of $cross probe×corpus pairs")
   }
 
+  test("d11's cluster count scales with the corpus so SemDeDup candidates stay near-linear") {
+    import spark.implicits._
+    // real corpus: the within-cluster pair space must sit well below
+    // all-pairs (d5's exact-quadratic regime)
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val n = emb.count()
+    val allPairs = n * (n - 1) / 2
+    val cand = operators.Dedup.semDedupCandidateCount(emb, targetCluster = 64)
+    assert(cand < allPairs * 2 / 5,
+      s"d11 cluster candidates degenerated: $cand of $allPairs pairs")
+    // synthetic 10× corpus: k grows with n (4096/64 = 64 cells), so the
+    // candidate FRACTION must fall as the corpus grows — a fixed k
+    // would hold it constant (the quadratic-at-scale failure)
+    val rng = new scala.util.Random(11L)
+    val big = Seq.tabulate(4096)(i =>
+        (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val bigN = 4096L
+    val bigCand = operators.Dedup.semDedupCandidateCount(big, targetCluster = 64)
+    assert(bigCand < bigN * (bigN - 1) / 2 / 10,
+      s"d11 candidates $bigCand not near-linear at n=$bigN")
+  }
+
   test("s6's adaptive LSH keeps kNN-graph candidates near-linear as the corpus grows") {
     import spark.implicits._
     // synthetic corpus big enough that the adaptive dial must actually

@@ -265,6 +265,34 @@ class TwinEquivalenceSpec extends SparkSpec {
       s"stream=${streamed.size} batch=${batch.size}")
   }
 
+  test("st17 streaming drift == e18's full-window scan, row for row, on a replayed stream") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf)
+      .select($"event_type", $"event_id", $"ts".cast("long").as("secs"), $"value")
+      .orderBy("secs", "event_id").collect()
+      .map(r => KeyedEvent(r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val in = MemoryStream[KeyedEvent]
+    val q = StreamDrift.detect(in.toDS(), w = 50)
+      .writeStream.format("memory").queryName("twin_st17")
+      .outputMode(OutputMode.Append).start()
+    // 5 chunks: state carries windows across micro-batch boundaries
+    ev.grouped(ev.length / 5 + 1).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("twin_st17").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSet
+    val batch = EventOps.driftScan(
+        graft.Tables.events(spark, sf).select($"event_id", $"event_type",
+          $"ts".cast("long").as("secs"), $"value"), 50)
+      .select($"event_id", $"event_type", $"value", round($"shift", 6).as("shift"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream=${streamed.size} batch=${batch.size}")
+  }
+
   test("st11 streaming SpaceSaving top-k == exact token counts when capacity covers the vocab") {
     implicit val sc = spark.sqlContext
     implicit val s = spark
