@@ -83,6 +83,7 @@ object SparkEntry {
     "e16_correlation" -> (EventOps.e16Correlation _),
     "e17_ensemble" -> (EventOps.e17Ensemble _),
     "e18_window_drift" -> ((s, d) => EventOps.e18WindowDrift(s, d)),
+    "e19_autocorr" -> ((s, d) => EventOps.e19Autocorr(s, d)),
     "a6_holt" -> (AnomalyML.a6Holt _),
     // rows-only ops (hash/ML-algorithm-defined; spec-tested, no SQL oracle)
     "q11_approx_distinct" -> (Analytics.q11ApproxDistinct _),

@@ -296,6 +296,53 @@ object EventOps {
       .orderBy("ta", "tb")
   }
 
+  /** e19_autocorr — per-key lag-k autocorrelation of the per-minute
+    * mean series (lags 1/5/15 min): the self-similarity audit that
+    * quantifies how predictable each series is from its own recent
+    * past — high r(1) says smoothing (a2/a6) will forecast well, decay
+    * across lags measures memory length, and a NEGATIVE short lag
+    * flags oscillation. e16 asks "which series move together"; this
+    * asks "how much does each series remember itself" — the two
+    * second-order statistics a detector-tuning pass reads first.
+    *
+    * Scale: same shape as e16 — one map-side rollup to (minute, key)
+    * points, then a (key, minute+lag) equi-join fanning out over
+    * series points × lags, never events; final agg is O(keys × lags).
+    * [sql-oracle]: exact decimal moments, identical quotient shape,
+    * degenerate (flat/short) series excluded with the same predicate. */
+  def e19Autocorr(s: SparkSession, dir: String,
+      lags: Seq[Int] = Seq(1, 5, 15)): DataFrame =
+    autocorr(Tables.events(s, dir), lags)
+
+  /** Generic core of [[e19Autocorr]] over any (ts, event_type, value)
+    * frame. */
+  def autocorr(ev: DataFrame, lags: Seq[Int] = Seq(1, 5, 15)): DataFrame = {
+    val byMin = ev
+      .groupBy(unix_timestamp(date_trunc("minute", col("ts"))).as("m"),
+        col("event_type"))
+      .agg(count(lit(1)).as("nm"), dsum(col("value")).as("sm"))
+      .withColumn("v", col("sm") / col("nm"))
+      .select("m", "event_type", "v")
+    val a = byMin.select(col("m"), col("event_type"), col("v").as("va"))
+      .withColumn("lag", explode(array(lags.map(lit): _*)))
+      .withColumn("m2", col("m") + col("lag") * 60)
+    val b = byMin.select(col("m").as("m2"), col("event_type"),
+      col("v").as("vb"))
+    val st = a.join(b, Seq("event_type", "m2")).groupBy("event_type", "lag")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("va")).as("sx"), dsum(col("vb")).as("sy"),
+        sum((col("va") * col("va")).cast(DecimalType(28, 10))).cast("double").as("sxx"),
+        sum((col("vb") * col("vb")).cast(DecimalType(28, 10))).cast("double").as("syy"),
+        sum((col("va") * col("vb")).cast(DecimalType(28, 10))).cast("double").as("sxy"))
+    val varx = col("sxx") - col("sx") * col("sx") / col("n")
+    val vary = col("syy") - col("sy") * col("sy") / col("n")
+    val r = (col("sxy") - col("sx") * col("sy") / col("n")) / sqrt(varx * vary)
+    st.filter(col("n") > 1 && varx > 0 && vary > 0)
+      .select(col("event_type"), col("lag"), col("n"), round(r, 6).as("r"))
+      .orderBy("event_type", "lag")
+  }
+
   /** e17_ensemble — consensus outliers: an event flags only when ≥ 2 of
     * the three statistical detectors (e5 z-score, e6 median/MAD, e7
     * IQR fence) agree. Single-detector flags are threshold artifacts as
@@ -402,6 +449,29 @@ object EventOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "e19_autocorr" ->
+      """WITH bm AS (SELECT epoch(date_trunc('minute', ts)) AS m, event_type,
+        |  COUNT(*) AS nm,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sm
+        |  FROM events GROUP BY 1, 2),
+        |v AS (SELECT m, event_type, sm / nm AS v FROM bm),
+        |l(lag) AS (VALUES (1), (5), (15)),
+        |p AS (SELECT a.event_type, l.lag, a.v AS va, b.v AS vb
+        |      FROM v a CROSS JOIN l JOIN v b
+        |        ON b.event_type = a.event_type AND b.m = a.m + l.lag * 60),
+        |st AS (SELECT event_type, lag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(va AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(vb AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(va * va AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(vb * vb AS DECIMAL(28,10))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(va * vb AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT event_type, lag, n,
+        |  ROUND((sxy - sx * sy / n)
+        |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r
+        |FROM st
+        |WHERE n > 1 AND (sxx - sx * sx / n) > 0 AND (syy - sy * sy / n) > 0
+        |ORDER BY event_type, lag""".stripMargin,
     "e18_window_drift" ->
       """WITH t AS (SELECT event_id, event_type,
         |    epoch(date_trunc('second', ts)) AS secs, value FROM events),

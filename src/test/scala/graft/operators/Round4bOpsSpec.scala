@@ -133,6 +133,27 @@ class Round4bOpsSpec extends SparkSpec {
       s"EWMA ramp residuals stay biased, min ${ewmaTail.min}")
   }
 
+  test("e19_autocorr signs oscillation negative and smooth series positive") {
+    import spark.implicits._
+    // key "osc": alternating ±1 per minute → r(1) ≈ −1, r(2-min-even
+    // lags) would be +1 but only odd lags 1/5/15 are asked → all ≈ −1;
+    // key "smooth": slow sine (period 120 min) → r(1) strongly positive
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 360).flatMap { i =>
+      val ts = new java.sql.Timestamp(base + i * 60000L)
+      Seq((ts, "osc", if (i % 2 == 0) 1.0 else -1.0),
+        (ts, "smooth", math.sin(i * 2 * math.Pi / 120)))
+    }
+    val out = EventOps.autocorr(rows.toDF("ts", "event_type", "value"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(out(("osc", 1)) < -0.99 && out(("osc", 5)) < -0.99 &&
+      out(("osc", 15)) < -0.99)
+    assert(out(("smooth", 1)) > 0.99)
+    // 15 min on a 120-min sine is cos(2π·15/120) ≈ 0.707 — memory decays
+    assert(out(("smooth", 15)) > 0.6 && out(("smooth", 15)) < 0.8)
+  }
+
   test("d11_semdedup emits only true pairs (⊆ d5 with equal cosines)") {
     val exact = Dedup.d5EmbedNeardup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
