@@ -301,6 +301,44 @@ object Dedup {
       .select(col("v").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id")
 
+  /** Quality-aware keeper selection over any (doc_id, cluster) ×
+    * (doc_id, quality) pair of frames: per cluster keep the
+    * HIGHEST-quality member (min doc_id on exact ties), map every
+    * member to its keeper. */
+  def keeperSelect(clusters: DataFrame, quality: DataFrame): DataFrame = {
+    val scored = clusters.join(quality, "doc_id")
+    // argmax per cluster through the bounded k=1 heaps — ≤ 1 row per
+    // (cluster, partition) shuffles, never a full per-cluster sort
+    val keepers = graft.plans.TopKPerGroup.perKey(scored,
+        Seq(col("cluster")), Seq(col("quality").desc, col("doc_id")), 1)
+      .select(col("cluster"), col("doc_id").as("keeper"))
+    scored.join(keepers, "cluster")
+      .select(col("doc_id"), col("cluster"), col("keeper"),
+        when(col("doc_id") === col("keeper"), 1L).otherwise(0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** d12_keeper_select — the dedup DECISION stage: d8's near-dup
+    * clusters joined with t2's quality scores; per cluster the
+    * highest-quality copy survives, the rest map to it. Min-doc-id
+    * keeper policies (d1/d8's default) throw away the best copy
+    * whenever boilerplate got pasted into a better-written page — at
+    * corpus scale the keeper policy IS the corpus quality lever
+    * (dedup pipelines in the Lee et al. 2022 / Gopher lineage rank
+    * survivors by quality, not id). Composition: d2 pairs → d8
+    * clusters → t2 scores → one TopKPerGroup(k=1) argmax.
+    *
+    * Scale: adds only cluster-keyed equi-joins and bounded k=1 heaps
+    * on top of d8; quality is a narrow map (t2). [sql-oracle]: the
+    * cluster CTE is shared verbatim with d8's oracle, the quality
+    * double is one IEEE division of exact int64s (bit-identical), so
+    * the DESC argmax is engine-stable with the doc_id tiebreak. */
+  def d12KeeperSelect(s: SparkSession, dir: String): DataFrame =
+    keeperSelect(
+      d8DedupClusters(s, dir),
+      TextOps.qualityOver(Tables.documents(s, dir))
+        .select(col("doc_id"), col("quality")))
+
   /** d6_contamination — train/test decontamination check: a 10%
     * hash-assigned test split is scanned for 8-word shingles that also
     * occur anywhere in the train split; per test doc, report how many of
@@ -433,7 +471,8 @@ object Dedup {
     // regardless of n) — the dial that keeps Σ size² near-linear; a
     // fixed k would make clusters, and the within-cluster pair space,
     // grow quadratically with the corpus (the s6 r3 lesson).
-    val k = math.max(4L, math.min(65536L, n / targetCluster)).toInt
+    val k = math.max(1L, math.min(math.max(4L,
+      math.min(65536L, n / targetCluster)), n)).toInt
     val trainFrac = math.min(1.0, 100000.0 / math.max(n, 1L))
     val train = Sampling.uniform(vecs, col("vec_id"), trainFrac)
       .select(array_to_vector(col("embedding")).as("features"))
@@ -481,15 +520,21 @@ object Dedup {
     * (c) the candidate-volume bound (PlanAudit, via [[semClusters]]). */
   def semDedup(e: DataFrame, minCos: Double = 0.45,
       targetCluster: Int = 64): DataFrame = {
-    val cl = semClusters(e, targetCluster)
+    // cache the assignment: both join sides consume it, and without the
+    // cache the fact is scanned (and the k-centroid distance map
+    // evaluated) twice
+    val cl = semClusters(e, targetCluster).cacheIf()
     val a = cl.select(col("cl"), col("vec_id").as("a"), col("embedding").as("ea"))
     val b = cl.select(col("cl"), col("vec_id").as("b"), col("embedding").as("eb"))
-    a.join(b, "cl")
+    val out = a.join(b, "cl")
       .filter(col("a") < col("b"))
       .withColumn("cos", VectorOps.cosine(col("ea"), col("eb")))
       .filter(col("cos") >= minCos)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
       .orderBy("a", "b")
+      .finishIf()
+    cl.unpersistIf()
+    out
   }
 
   /** d11_semdedup — [[semDedup]] on the embeddings table at d5's
@@ -512,6 +557,34 @@ object Dedup {
         case d: Double => d.toLong
       }
   }
+
+  /** Shared DuckDB recursive-CTE body: d2's pair list → symmetric
+    * edges → reachability closure, ending in `cl(doc_id, cluster)` —
+    * the d8 cluster computation, reused verbatim by the d12 oracle so
+    * the two oracles cannot drift. */
+  private lazy val clusterCte =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |s AS (SELECT doc_id, list_distinct(list_transform(
+       |        range(greatest(len(w) - 4, 1)),
+       |        i -> array_to_string(w[i + 1:i + 5], ' '))) AS sh FROM d),
+       |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |kept AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= $MaxShingleDf),
+       |p0 AS (SELECT e.doc_id, e.g FROM e JOIN kept USING (g)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM p0 GROUP BY doc_id),
+       |p AS (SELECT p0.doc_id, n_sh, g FROM p0 JOIN cnt USING (doc_id)),
+       |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+       |         COUNT(*) AS common
+       |       FROM p x JOIN p y ON x.g = y.g AND x.doc_id < y.doc_id
+       |       GROUP BY 1, 2, 3, 4),
+       |pairs AS (SELECT a, b FROM pr
+       |          WHERE common * 1.0 / (na + nb - common) >= 0.5),
+       |edges AS (SELECT a AS u, b AS v FROM pairs
+       |          UNION SELECT b, a FROM pairs),
+       |reach(u, r) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+       |  UNION
+       |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON reach.u = e2.v),
+       |cl AS (SELECT u AS doc_id, MIN(r) AS cluster FROM reach GROUP BY u)""".stripMargin
 
   /** Shared DuckDB CTE: explode embeddings to (vec_id, position, value)
     * with double-cast values — mirrors VectorOps' double-precision math. */
@@ -541,29 +614,34 @@ object Dedup {
         |FROM n LEFT JOIN h USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     "d8_dedup_clusters" ->
       s"""WITH RECURSIVE
-         |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |s AS (SELECT doc_id, list_distinct(list_transform(
-         |        range(greatest(len(w) - 4, 1)),
-         |        i -> array_to_string(w[i + 1:i + 5], ' '))) AS sh FROM d),
-         |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
-         |kept AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= $MaxShingleDf),
-         |p0 AS (SELECT e.doc_id, e.g FROM e JOIN kept USING (g)),
-         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM p0 GROUP BY doc_id),
-         |p AS (SELECT p0.doc_id, n_sh, g FROM p0 JOIN cnt USING (doc_id)),
-         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
-         |         COUNT(*) AS common
-         |       FROM p x JOIN p y ON x.g = y.g AND x.doc_id < y.doc_id
-         |       GROUP BY 1, 2, 3, 4),
-         |pairs AS (SELECT a, b FROM pr
-         |          WHERE common * 1.0 / (na + nb - common) >= 0.5),
-         |edges AS (SELECT a AS u, b AS v FROM pairs
-         |          UNION SELECT b, a FROM pairs),
-         |reach(u, r) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
-         |  UNION
-         |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON reach.u = e2.v)
-         |SELECT u AS doc_id, MIN(r) AS cluster FROM reach
-         |GROUP BY u ORDER BY doc_id""".stripMargin,
+         |$clusterCte
+         |SELECT doc_id, cluster FROM cl ORDER BY doc_id""".stripMargin,
+    // d12 = d8's clusters × t2's exact integer-ratio quality → argmax
+    // keeper per cluster. quality doubles are bit-identical on both
+    // engines (one IEEE division of exact int64s), so the DESC rank is
+    // engine-stable; doc_id breaks exact ties deterministically.
+    "d12_keeper_select" ->
+      s"""WITH RECURSIVE
+         |$clusterCte,
+         |q AS (SELECT doc_id,
+         |        (len(string_split(text, ' '))
+         |          - len(list_filter(string_split(text, ' '),
+         |                w -> w IN ('the','a','of','to','and'))))
+         |        * (n_chars - len(string_split(text, ' ')) + 1) * 1.0
+         |        / (len(string_split(text, ' ')) * len(string_split(text, ' ')))
+         |          AS quality
+         |      FROM documents),
+         |sc AS (SELECT cl.doc_id, cl.cluster, q.quality
+         |       FROM cl JOIN q USING (doc_id)),
+         |k AS (SELECT cluster, doc_id AS keeper FROM (
+         |        SELECT cluster, doc_id,
+         |          ROW_NUMBER() OVER (PARTITION BY cluster
+         |            ORDER BY quality DESC, doc_id) AS rn
+         |        FROM sc) t WHERE rn = 1)
+         |SELECT sc.doc_id, sc.cluster, k.keeper,
+         |  CAST(CASE WHEN sc.doc_id = k.keeper THEN 1 ELSE 0 END AS BIGINT)
+         |    AS keep
+         |FROM sc JOIN k USING (cluster) ORDER BY sc.doc_id""".stripMargin,
     "d6_contamination" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
          |             ${PortableHash.duckBucket("doc_id", "contam", 10L)} = 0 AS is_test

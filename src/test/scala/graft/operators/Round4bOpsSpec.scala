@@ -133,6 +133,35 @@ class Round4bOpsSpec extends SparkSpec {
       s"EWMA ramp residuals stay biased, min ${ewmaTail.min}")
   }
 
+  test("d12_keeper_select keeps the highest-quality copy, not the lowest id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster")
+    val quality = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (7L, 0.2), (8L, 0.4))
+      .toDF("doc_id", "quality")
+    val rows = Dedup.keeperSelect(clusters, quality).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // cluster 1: 2 and 3 tie at 0.9 → min doc_id 2 wins; the min-id
+    // policy would have kept the WORST copy (doc 1 at 0.5)
+    assert(rows(1L) == ((2L, 0L)) && rows(2L) == ((2L, 1L)) &&
+      rows(3L) == ((2L, 0L)))
+    // cluster 7: the higher-quality copy is the higher id
+    assert(rows(7L) == ((8L, 0L)) && rows(8L) == ((8L, 1L)))
+    // real-corpus binding == driver argmax over d8 × t2
+    val cl = Dedup.d8DedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val q = TextOps.t2Quality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val expect = cl.groupBy(_._2).toSeq.flatMap { case (c, ms) =>
+      val keeper = ms.map(_._1).minBy(id => (-q(id), id))
+      ms.map { case (id, _) =>
+        id -> ((c, keeper, if (id == keeper) 1L else 0L)) }
+    }.toMap
+    val got = Dedup.d12KeeperSelect(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("e19_autocorr signs oscillation negative and smooth series positive") {
     import spark.implicits._
     // key "osc": alternating ±1 per minute → r(1) ≈ −1, r(2-min-even
