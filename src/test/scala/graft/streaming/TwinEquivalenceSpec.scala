@@ -265,6 +265,32 @@ class TwinEquivalenceSpec extends SparkSpec {
       s"stream=${streamed.size} batch=${batch.size}")
   }
 
+  test("st18 streaming Holt == a6 batch scan, row for row, on a replayed stream") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val ev = graft.Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"value", $"ts".cast("long").as("secs"))
+      .orderBy("secs", "event_id").collect()
+      .map(r => graft.operators.EventRow(r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3)))
+    val in = MemoryStream[graft.operators.EventRow]
+    val q = StreamHolt.smooth(in.toDS())
+      .writeStream.format("memory").queryName("twin_st18")
+      .outputMode(OutputMode.Append).start()
+    ev.grouped(ev.length / 5 + 1).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("twin_st18").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    val batch = graft.operators.AnomalyML.a6Holt(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream=${streamed.size} batch=${batch.size}")
+  }
+
   test("st17 streaming drift == e18's full-window scan, row for row, on a replayed stream") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
