@@ -183,6 +183,40 @@ object Analytics {
       .orderBy("n_name")
   }
 
+  /** q15_bloom_semi — semi join behind a BROADCAST BLOOM PREFILTER:
+    * high-balance customers' orders, where the fact scan first drops
+    * rows failing a ~1%-FP Bloom membership test on the key set and
+    * only the survivors enter the exact semi join. At 100 TB this is
+    * THE technique for selective fact⋈dim-subset joins: the Bloom is
+    * KBs–MBs broadcast regardless of fact size, it prunes
+    * (1 − selectivity − fpp) of the fact BEFORE any shuffle, and the
+    * exact join on the survivors erases the false positives — results
+    * are bit-identical to the plain semi join (which is exactly what
+    * the oracle checks). Spark's AQE runtime filters do this opportunistically
+    * for some plans; here it is an explicit, composable step.
+    *
+    * The membership test is a UDF (the established exemption: Spark 4
+    * exposes no public builtin for Bloom probe; the internal
+    * might_contain of runtime filtering is not API). The Bloom build
+    * is one bounded aggregate over the already-filtered dim.
+    * [sql-oracle] (plain IN-subquery — the Bloom is invisible to
+    * semantics). */
+  def q15BloomSemi(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+    val bloom = keys.stat.bloomFilter("c_custkey",
+      math.max(keys.count(), 1L), 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bc.value.mightContain(k))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
+      .filter(mightContain(col("o_custkey")))
+      .join(keys, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   def q13WindowSuite(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_returnflag")
       .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
@@ -285,6 +319,13 @@ object Analytics {
   /** DuckDB oracle SQL for §2.A — constructed with the same decimal
     * intermediates / expression shapes as the DataFrame plans above. */
   val oracle: Map[String, String] = Map(
+    "q15_bloom_semi" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_acctbal > 9000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q14_pivot" ->
       """SELECT n_name,
         | CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'

@@ -133,6 +133,40 @@ class Round4bOpsSpec extends SparkSpec {
       s"EWMA ramp residuals stay biased, min ${ewmaTail.min}")
   }
 
+  test("q15_bloom_semi equals the exact semi join; the bloom prunes non-matching keys") {
+    // result equality with the plain semi join (the oracle's contract),
+    // recomputed driver-side
+    val cust = graft.Tables.customer(spark, sf)
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val keys = cust.filter(_._2 > 9000).map(_._1).toSet
+    val orders = graft.Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expect = orders.filter(o => keys(o._1)).groupBy(_._2)
+      .map { case (p, rows) =>
+        p -> ((rows.length.toLong, rows.map(r =>
+          BigDecimal(r._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble))
+      }
+    val got = Analytics.q15BloomSemi(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expect && got.nonEmpty)
+    // the mechanism: a bloom at fpp 0.01 over the key set must reject
+    // the overwhelming majority of NON-matching fact keys (that is the
+    // pre-shuffle pruning the operator exists for)
+    import spark.implicits._
+    val bloom = keys.toSeq.toDF("k").stat
+      .bloomFilter("k", math.max(keys.size, 1L), 0.01)
+    val nonMatching = orders.map(_._1).distinct.filterNot(keys)
+    val passed = nonMatching.count(bloom.mightContain(_))
+    assert(nonMatching.nonEmpty &&
+      passed <= math.max(5, nonMatching.length / 20),
+      s"bloom passed $passed of ${nonMatching.length} non-matching keys")
+    // and zero false negatives, ever — the correctness precondition
+    assert(keys.forall(bloom.mightContain(_)))
+  }
+
   test("d12_keeper_select keeps the highest-quality copy, not the lowest id") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
