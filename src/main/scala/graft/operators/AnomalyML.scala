@@ -597,7 +597,7 @@ object AnomalyML {
     // before conversion). Recursion depth = max rows/key (~86 at
     // sf0.01) — cheap for the oracle's test scale.
     "a2_ewma" ->
-      """WITH RECURSIVE t AS (
+      """WITH RECURSIVE t AS MATERIALIZED (
         |  SELECT event_id, user_id, value,
         |         ROW_NUMBER() OVER (PARTITION BY user_id
         |           ORDER BY epoch(date_trunc('second', ts)), event_id) AS rn
@@ -622,7 +622,7 @@ object AnomalyML {
     // carries the seeded (l=v, b=0) state through the SAME step
     // arithmetic, `(value + 0.0)` spelling Scala's l+b with b=0.
     "a6_holt" ->
-      """WITH RECURSIVE t AS (
+      """WITH RECURSIVE t AS MATERIALIZED (
         |  SELECT event_id, user_id, value,
         |         ROW_NUMBER() OVER (PARTITION BY user_id
         |           ORDER BY epoch(date_trunc('second', ts)), event_id) AS rn
@@ -661,7 +661,8 @@ object AnomalyML {
         | FROM events GROUP BY event_type),
         |sx AS (SELECT key, s1 / n AS mean, sqrt((s2 - s1 * s1 / n) / n) AS sd
         |       FROM st),
-        |t AS (SELECT e.event_id, sx.key, e.value, sx.mean, sx.sd,
+        |t AS MATERIALIZED (
+        |      SELECT e.event_id, sx.key, e.value, sx.mean, sx.sd,
         |        ROW_NUMBER() OVER (PARTITION BY sx.key
         |          ORDER BY epoch(date_trunc('second', e.ts)), e.event_id) AS rn
         |      FROM events e JOIN sx ON e.event_type = sx.key),
