@@ -75,6 +75,7 @@ object SparkEntry {
     "a5_mahalanobis" -> (AnomalyML.a5Mahalanobis _),
     "s5_filtered_ann" -> (Similarity.s5FilteredAnn _),
     "s7_hard_negatives" -> (Similarity.s7HardNegatives(_, _)),
+    "s8_range_search" -> ((s, d) => Similarity.s8RangeSearch(s, d)),
     "i6_take_per_group" -> (Sampling.i6TakePerGroup _),
     "i7_interleave" -> (Sampling.i7Interleave _),
     "i8_token_budget" -> ((s, d) => Sampling.i8TokenBudget(s, d)),

@@ -109,6 +109,36 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** s8_range_search — threshold (range) similarity retrieval: per
+    * query, EVERY corpus vector with cosine ≥ τ, not a fixed top-k
+    * (the "all sufficiently-similar" form retrieval filters,
+    * contamination screens, and near-dup audits ask for — top-k
+    * under-returns when a query has many qualifying neighbors and
+    * pads with noise when it has none). Same 100 TB shape as s1: the
+    * tiny query set broadcasts, the corpus streams once, the
+    * predicate rides the scan, and ONLY qualifying rows are emitted —
+    * output cost tracks the answer, not the corpus. The threshold
+    * compares the 6-dp-rounded cosine so the emission set is
+    * bit-stable across engines (an unrounded boundary comparison
+    * could flip on a last-ulp dot-sum difference). At 100 TB, a
+    * per-query emission cap (TopKPerGroup over the qualifying set)
+    * bounds worst-case output for degenerate near-constant corpora;
+    * the threshold itself is the primary dial. [sql-oracle]. */
+  def s8RangeSearch(s: SparkSession, dir: String, tau: Double = 0.25): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("eq"),
+        sqrt(VectorOps.normSq(col("embedding"))).as("qn"))
+    val c = e.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cid"), col("embedding").as("ec"),
+        sqrt(VectorOps.normSq(col("embedding"))).as("cn"))
+    val cos = VectorOps.dot(col("eq"), col("ec")) / (col("qn") * col("cn"))
+    c.join(broadcast(q)).withColumn("cos", round(cos, 6))
+      .filter(col("cos") >= tau)
+      .select(col("qid"), col("cid"), col("cos"))
+      .orderBy("qid", "cid")
+  }
+
   /** Random-hyperplane signatures (Charikar STOC 2002 SimHash for
     * cosine): 16 tables × 4 bits, deterministic.
     * Bits/table sets bucket granularity — collision prob per table is
@@ -419,6 +449,19 @@ object Similarity {
         |                                   ORDER BY cos DESC, cid) AS rn
         |      FROM scored) t
         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "s8_range_search" ->
+      """WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |            generate_subscripts(embedding, 1) AS i FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(SUM(x * x)) AS n FROM ex GROUP BY vec_id),
+        |dots AS (SELECT q.vec_id AS qid, c.vec_id AS cid, SUM(q.x * c.x) AS dot
+        |         FROM ex q JOIN ex c ON q.i = c.i
+        |         WHERE q.vec_id < 5 AND c.vec_id >= 5
+        |         GROUP BY q.vec_id, c.vec_id),
+        |scored AS (SELECT qid, cid, ROUND(dot / (nq.n * nc.n), 6) AS cos
+        |           FROM dots JOIN nrm nq ON dots.qid = nq.vec_id
+        |                     JOIN nrm nc ON dots.cid = nc.vec_id)
+        |SELECT qid, cid, cos FROM scored
+        |WHERE cos >= 0.25 ORDER BY qid, cid""".stripMargin,
     "s7_hard_negatives" ->
       """WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |            generate_subscripts(embedding, 1) AS i FROM embeddings),
