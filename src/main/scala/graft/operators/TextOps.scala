@@ -317,6 +317,49 @@ object TextOps {
   def t10Repetition(s: SparkSession, dir: String): DataFrame =
     repetitionOver(Tables.documents(s, dir))
 
+  /** t14_dup_ngrams — intra-doc duplicate-n-gram occupancy (Gopher
+    * §A1.1's "fraction in duplicate n-grams" repetition rule, Rae et
+    * al. 2021, on word bigrams): per doc, the fraction of bigram
+    * OCCURRENCES whose bigram appears ≥ 2 times within that same doc.
+    * t10 catches one dominant term; this catches looped/templated
+    * phrasing spread across many distinct repeated n-grams — the
+    * complementary repetition failure LLM corpus filters screen.
+    *
+    * Scale: the statistic is doc-LOCAL, so the operator is ONE narrow
+    * typed map — each row builds its own bounded bigram count table
+    * (≤ n_words entries) and emits four columns; zero shuffle, zero
+    * agg, cost linear in token count and embarrassingly parallel at
+    * any corpus size. (The flatMap → groupBy(doc, gram) form most
+    * engines reach for shuffles every (doc, gram) pair for a
+    * PER-DOC answer — strictly worse at 100 TB.) `dup_ratio` is one
+    * IEEE division of exact int64s — bit-identical cross-engine, no
+    * rounding needed. [sql-oracle]. */
+  def t14DupNgrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val w = t.split(" ")
+        val counts = new scala.collection.mutable.HashMap[String, Int]()
+        var i = 0
+        while (i < w.length - 1) {
+          val g = w(i) + " " + w(i + 1)
+          counts.update(g, counts.getOrElse(g, 0) + 1)
+          i += 1
+        }
+        var total = 0L
+        var dup = 0L
+        counts.valuesIterator.foreach { c =>
+          total += c
+          if (c >= 2) dup += c
+        }
+        val ratio = if (total > 0) dup * 1.0 / total else 0.0
+        (id, total, dup, ratio)
+      }
+      .toDF("doc_id", "n_grams", "n_dup", "dup_ratio")
+      .orderBy("doc_id")
+  }
+
   /** t12_lm_quality — unigram-LM cross-entropy scoring: fit the corpus's
     * own unigram distribution (one word-count aggregate), then score
     * every doc by the mean negative log-probability of its words — the
@@ -446,6 +489,19 @@ object TextOps {
          |SELECT doc_id, lang AS pred_lang, CAST(sc AS INTEGER) AS best_score
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
+    "t14_dup_ngrams" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |        range(greatest(len(w) - 1, 0)),
+        |        i -> array_to_string(w[i + 1:i + 2], ' '))) AS gram FROM d),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+        |        CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_grams, n_dup,
+        |  CASE WHEN n_grams > 0 THEN n_dup * 1.0 / n_grams ELSE 0.0 END
+        |    AS dup_ratio
+        |FROM a ORDER BY doc_id""".stripMargin,
     "t10_repetition" ->
       """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term

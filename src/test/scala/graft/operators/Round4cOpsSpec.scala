@@ -25,4 +25,35 @@ class Round4cOpsSpec extends SparkSpec {
     val perQuery = range.keys.groupBy(_._1).view.mapValues(_.size)
     assert(perQuery.values.sum > 0, "empty range result")
   }
+
+  test("t14_dup_ngrams crafted ratios and corpus invariants") {
+    import spark.implicits._
+    // crafted docs through the SAME operator entry point, swapped in
+    // via a temp parquet dir shaped like the documents table:
+    // "a b a b c": bigrams (a b)(b a)(a b)(b c) → "a b"×2 dup →
+    // total 4, dup 2, ratio 0.5; "x y z": all distinct → 0;
+    // "w w w w": every bigram is (w w) → ratio 1.
+    val dir = java.nio.file.Files.createTempDirectory("t14docs").toString
+    Seq((1L, "a b a b c", "en", "s", 9L), (2L, "x y z", "en", "s", 5L),
+        (3L, "w w w w", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val crafted = TextOps.t14DupNgrams(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(crafted(1L) == ((4L, 2L, 0.5)))
+    assert(crafted(2L) == ((2L, 0L, 0.0)))
+    assert(crafted(3L) == ((3L, 3L, 1.0)))
+    // corpus invariants: total = n_words − 1, 0 ≤ dup ≤ total
+    val out = TextOps.t14DupNgrams(spark, sf).collect()
+    val nw = TextOps.t2Quality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (id, total, dup, ratio) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(total == nw(id) - 1, s"doc $id total $total vs words ${nw(id)}")
+      assert(dup >= 0 && dup <= total)
+      assert(ratio >= 0.0 && ratio <= 1.0)
+    }
+    assert(out.exists(_.getLong(2) > 0), "no duplicate bigrams found in corpus")
+  }
 }
