@@ -56,6 +56,7 @@ object SparkEntry {
     "d9_fuzzy_join" -> (Dedup.d9FuzzyJoin _),
     "d10_block_dedup" -> (Dedup.d10BlockDedup(_, _)),
     "d12_keeper_select" -> (Dedup.d12KeeperSelect _),
+    "d13_dup_weight" -> (Dedup.d13DupWeight _),
     "d4_simhash" -> (DedupApprox.d4Simhash _),
     "d6_contamination" -> (Dedup.d6Contamination _),
     "t4_fingerprint" -> (TextOps.t4Fingerprint _),

@@ -32,6 +32,29 @@ object Dedup {
   def d1DedupExact(s: SparkSession, dir: String): DataFrame =
     exactDedup(Tables.documents(s, dir))
 
+  /** d13_dup_weight — SOFT exact dedup: every doc kept, carrying a
+    * training-loss weight 1/n_copies over its d1 digest group, so a
+    * text duplicated k× contributes the same total gradient mass as a
+    * unique one (the down-weighting alternative to d1's drop — the
+    * right call when duplication frequency is itself signal, e.g.
+    * boilerplate vs canon, and hard removal would bias the mixture).
+    *
+    * Scale: ONE shuffle of (doc_id, digest) on the digest — the group
+    * count is a whole-partition window over that exchange, cheaper
+    * than the groupBy + join-back form (which shuffles the frame
+    * twice). Strings never shuffle; only the 32-char digest does.
+    * `weight` is one IEEE division of an exact int64 — bit-identical
+    * cross-engine. [sql-oracle]. */
+  def d13DupWeight(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy("h")))
+      .withColumn("weight", lit(1.0) / col("n_copies"))
+      .orderBy("doc_id")
+  }
+
   /** Exact embedding-cosine near-dup pairs (cos ≥ minCos) as a BLOCKED
     * TRIANGLE EQUI-JOIN (the 1-bucket-theta grid of Okcan & Riedewald,
     * SIGMOD 2011, specialized to a self-join): every vector gets a hash
@@ -658,6 +681,12 @@ object Dedup {
          |  ROUND(COALESCE(h.n_hit, 0) * 1.0 / len(sh), 6) AS hit_ratio
          |FROM s LEFT JOIN h USING (doc_id) WHERE is_test
          |ORDER BY s.doc_id""".stripMargin,
+    "d13_dup_weight" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |c AS (SELECT h, COUNT(*) AS n_copies FROM h GROUP BY h)
+        |SELECT doc_id, h.h, n_copies,
+        |  CAST(1.0 AS DOUBLE) / n_copies AS weight
+        |FROM h JOIN c USING (h) ORDER BY doc_id""".stripMargin,
     "d1_dedup_exact" ->
       """SELECT h, keeper, n_copies FROM (
         | SELECT md5(text) AS h, MIN(doc_id) AS keeper, COUNT(*) AS n_copies

@@ -56,4 +56,24 @@ class Round4cOpsSpec extends SparkSpec {
     }
     assert(out.exists(_.getLong(2) > 0), "no duplicate bigrams found in corpus")
   }
+
+  test("d13_dup_weight conserves gradient mass and matches d1 group counts") {
+    val d1 = Dedup.d1DedupExact(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val out = Dedup.d13DupWeight(spark, sf).collect()
+    // every doc appears exactly once (nothing dropped)
+    assert(out.length == graft.Tables.documents(spark, sf).count())
+    out.foreach { r =>
+      val (h, n, w) = (r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(n == d1(h), s"group count mismatch for $h")
+      assert(w == 1.0 / n)
+    }
+    // per digest group, weights sum to exactly one gradient-unit per
+    // distinct text (n copies × 1/n — exact in doubles for equal
+    // weights summed n times only when n divides; use the count form)
+    out.groupBy(_.getString(1)).foreach { case (h, g) =>
+      assert(g.length == d1(h).toInt)
+      assert(g.map(_.getDouble(3)).distinct.length == 1)
+    }
+  }
 }
