@@ -81,6 +81,7 @@ object SparkEntry {
     "i6_take_per_group" -> (Sampling.i6TakePerGroup _),
     "i7_interleave" -> (Sampling.i7Interleave _),
     "i8_token_budget" -> ((s, d) => Sampling.i8TokenBudget(s, d)),
+    "i9_curriculum" -> (Sampling.i9Curriculum _),
     "q12_grouping_sets" -> (Analytics.q12GroupingSets _),
     "q13_window_suite" -> (Analytics.q13WindowSuite _),
     "q14_pivot" -> (Analytics.q14Pivot _),

@@ -284,10 +284,74 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** i9_curriculum — curriculum training order: quality quartiles form
+    * bands (t2's oracle-exact score), the BEST band trains first, and
+    * order within a band is the deterministic portable-hash shuffle
+    * (i5's discipline) — the easy→hard curriculum layout, where
+    * "easy" = cleanest text, with no quality-rank bias inside a band.
+    *
+    * Scale: quartile thresholds are one percentile aggregate (exact by
+    * default, approx_percentile under the [[graft.functions.Pct]]
+    * session flag at 100 TB) collected as THREE doubles — a KB-scale
+    * pull, inlined as literals so banding is a narrow map. The global
+    * position is the i5 two-phase prefix: composite range-buckets
+    * (band, top-9-hash-bits) count once, the driver stitches ≤4×512
+    * offsets into a broadcast CASE, and row_number runs per bucket —
+    * never a single-partition global window. Thresholds compare at
+    * 6 dp on both engines so band assignment is bit-stable (the q9
+    * percentile-interpolation convention). [sql-oracle]. */
+  def i9Curriculum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = graft.operators.TextOps.qualityOver(Tables.documents(s, dir))
+      .select(col("doc_id"), col("quality"))
+    val Array(t1, t2, t3) = q.agg(
+        round(graft.functions.Pct.of(s, "quality", 0.25), 6).as("t1"),
+        round(graft.functions.Pct.of(s, "quality", 0.5), 6).as("t2"),
+        round(graft.functions.Pct.of(s, "quality", 0.75), 6).as("t3"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    val band = (col("quality") > t1).cast("int") +
+      (col("quality") > t2).cast("int") + (col("quality") > t3).cast("int")
+    val docs = q
+      .withColumn("band", band)
+      .withColumn("ok", PortableHash.mdhash64(
+        concat(col("doc_id").cast("string"), lit(":cur"))))
+      // composite bucket preserves the (band desc, hash) global order:
+      // bandKey = 3 − band ascending ⇔ band descending; the signed
+      // top-9-bit shift is monotone in ok
+      .withColumn("rb",
+        (lit(3L) - col("band")) * lit(1024L) + expr("ok >> 55") + lit(256L))
+    val bucketOffset = prefixOffsetCase(
+      docs.groupBy("rb").agg(count(lit(1)).cast("long").as("tot")))
+    val w = Window.partitionBy("rb").orderBy("ok", "doc_id")
+    docs
+      .withColumn("pos",
+        bucketOffset + row_number().over(w).cast("long") - lit(1L))
+      .select(col("doc_id"), col("band"), col("pos"))
+      .orderBy("doc_id")
+  }
+
   private def duckWeight =
     "CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 3 ELSE 1 END"
 
   val oracle: Map[String, String] = Map(
+    "i9_curriculum" ->
+      s"""WITH q AS (SELECT doc_id,
+         |    (len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '),
+         |          w -> w IN ('the','a','of','to','and'))))
+         |      * (n_chars - len(string_split(text, ' ')) + 1) * 1.0
+         |      / (len(string_split(text, ' ')) * len(string_split(text, ' '))) AS quality
+         |  FROM documents),
+         |t AS (SELECT ROUND(quantile_cont(quality, 0.25), 6) AS t1,
+         |             ROUND(quantile_cont(quality, 0.5), 6) AS t2,
+         |             ROUND(quantile_cont(quality, 0.75), 6) AS t3 FROM q),
+         |b AS (SELECT doc_id,
+         |        CAST(quality > t1 AS INT) + CAST(quality > t2 AS INT)
+         |          + CAST(quality > t3 AS INT) AS band,
+         |        ${PortableHash.duckMdhash64("CAST(doc_id AS VARCHAR) || ':cur'")} AS ok
+         |      FROM q, t)
+         |SELECT doc_id, band,
+         |  ROW_NUMBER() OVER (ORDER BY band DESC, ok, doc_id) - 1 AS pos
+         |FROM b ORDER BY doc_id""".stripMargin,
     "i8_token_budget" ->
       """WITH q AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

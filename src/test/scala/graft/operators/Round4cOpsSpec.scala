@@ -76,4 +76,28 @@ class Round4cOpsSpec extends SparkSpec {
       assert(g.map(_.getDouble(3)).distinct.length == 1)
     }
   }
+
+  test("i9_curriculum is a permutation ordered band-desc with hash-shuffled bands") {
+    val out = Sampling.i9Curriculum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = out.length
+    // positions are exactly 0..n−1 (a permutation)
+    assert(out.map(_._3).sorted.sameElements(0L until n.toLong))
+    // band sizes are quartile-balanced (±2 for threshold ties)
+    val bySize = out.groupBy(_._2).view.mapValues(_.length)
+    assert(bySize.keySet == Set(0, 1, 2, 3))
+    bySize.values.foreach(c =>
+      assert(math.abs(c - n / 4.0) <= n * 0.05 + 2, s"band sizes $bySize"))
+    // positions strictly respect band order: every band-3 doc precedes
+    // every band-2 doc, etc.
+    val maxPosByBand = out.groupBy(_._2).view.mapValues(_.map(_._3).max).toMap
+    val minPosByBand = out.groupBy(_._2).view.mapValues(_.map(_._3).min).toMap
+    assert(maxPosByBand(3) < minPosByBand(2))
+    assert(maxPosByBand(2) < minPosByBand(1))
+    assert(maxPosByBand(1) < minPosByBand(0))
+    // within a band, order is hash-shuffled: doc_id order and position
+    // order must disagree somewhere
+    val b3 = out.filter(_._2 == 3).sortBy(_._3).map(_._1)
+    assert(b3.sorted.toSeq != b3.toSeq, "band order degenerated to doc_id order")
+  }
 }
