@@ -105,6 +105,7 @@ object SparkEntry {
     "a2_ewma" -> (AnomalyML.a2Ewma _),
     "a3_kmeans_outlier" -> (AnomalyML.a3KmeansOutlier _),
     "a4_cusum_drift" -> (AnomalyML.a4CusumDrift _),
+    "a7_pca_outlier" -> (AnomalyML.a7PcaOutlier _),
     "s3_ivf" -> (Similarity.s3Ivf _),
     "s4_ann_pq" -> (Similarity.s4AnnPq _),
     "s6_knn_graph" -> ((s, d) => Similarity.s6KnnGraph(s, d)),

@@ -587,6 +587,82 @@ object AnomalyML {
       .orderBy("event_id")
   }
 
+  /** a7_pca_outlier — subspace-model anomaly detection over the
+    * embeddings corpus: fit a rank-k PCA of the (mean-centered)
+    * vectors, score every vector by its reconstruction error — the
+    * squared distance from the principal subspace, err = ‖x−μ‖² −
+    * ‖Vᵀ(x−μ)‖² (V orthonormal, so no reconstruction needed) — and
+    * flag the top-contamination tail. A vector can sit inside every
+    * per-coordinate range and still be far OFF the manifold the corpus
+    * lives on; that is the multivariate-structure failure a5 catches
+    * for 2 features and this catches for 64 (classical PCA
+    * residual/SPE anomaly detection, Jolliffe 2002 regime).
+    *
+    * Scale: the mean and covariance fit are one distributed pass each
+    * (Summarizer / RowMatrix tree-aggregates — O(d²) reduce payload,
+    * no shuffle of the corpus); the fitted model broadcast is
+    * 64×(k+1) doubles; scoring is a narrow map (broadcast-model UDF —
+    * the a1/a3/s3/s4 scoring regime); the contamination cut is one
+    * percentile aggregate routed through [[Pct]] (exact by default,
+    * mergeable approx at 100 TB). [rows-only]: eigendecomposition is
+    * engine-specific; the spec pins a planted off-subspace outlier to
+    * the top error, near-zero error for in-subspace rows, and the
+    * flag-fraction contract. */
+  def pcaOutlier(e: DataFrame, k: Int = 8,
+      contamination: Double = 0.05): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.stat.Summarizer
+    import org.apache.spark.ml.linalg.{DenseVector, Vector}
+    val s = e.sparkSession
+    val vecs = e.select(col("vec_id"),
+      array_to_vector(col("embedding")).as("features")).cacheIf()
+    val mean = vecs.select(Summarizer.mean(col("features")))
+      .first().getAs[Vector](0).toArray
+    val pc = new PCA().setK(k).setInputCol("features").setOutputCol("pc")
+      .fit(vecs).pc // d×k, column-major
+    val d = mean.length
+    val bcM = s.sparkContext.broadcast(mean)
+    val bcV = s.sparkContext.broadcast(pc.values)
+    val errUdf = udf((v: Seq[Float]) => {
+      val m = bcM.value
+      val pv = bcV.value
+      val xc = new Array[Double](d)
+      var i = 0
+      while (i < d) { xc(i) = v(i) - m(i); i += 1 }
+      var tot = 0.0
+      i = 0
+      while (i < d) { tot += xc(i) * xc(i); i += 1 }
+      var proj = 0.0
+      var j = 0
+      while (j * d < pv.length) {
+        var p = 0.0
+        i = 0
+        while (i < d) { p += pv(j * d + i) * xc(i); i += 1 }
+        proj += p * p
+        j += 1
+      }
+      math.max(tot - proj, 0.0)
+    })
+    val scored = e.select(col("vec_id"), col("embedding"))
+      .withColumn("err", errUdf(col("embedding"))).cacheIf()
+    val cut = scored.agg(Pct.of(s, "err", 1.0 - contamination))
+      .first().getDouble(0)
+    val out = scored
+      .filter(col("err") > cut)
+      .select(col("vec_id"), round(col("err"), 6).as("err"))
+      .orderBy("vec_id")
+      .finishIf()
+    scored.unpersistIf()
+    vecs.unpersistIf()
+    out
+  }
+
+  /** a7_pca_outlier — [[pcaOutlier]] on the embeddings table. */
+  def a7PcaOutlier(s: SparkSession, dir: String): DataFrame =
+    pcaOutlier(Tables.spread(s, Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("embedding")))
+
   val oracle: Map[String, String] = Map(
     // a2's recurrence is SQL-expressible after all: a recursive CTE
     // stepping rn → rn+1 per key replays the identical float sequence

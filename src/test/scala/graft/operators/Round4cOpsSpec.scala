@@ -100,4 +100,32 @@ class Round4cOpsSpec extends SparkSpec {
     val b3 = out.filter(_._2 == 3).sortBy(_._3).map(_._1)
     assert(b3.sorted.toSeq != b3.toSeq, "band order degenerated to doc_id order")
   }
+
+  test("a7_pca_outlier flags a planted off-subspace vector and spares the manifold") {
+    import spark.implicits._
+    // 200 vectors confined to a 2-D subspace of R^8 (dims 0-1), plus
+    // one vector pointing straight off it (dim 7): with k=2 the
+    // in-subspace rows reconstruct ~exactly, the planted one cannot.
+    val rng = new scala.util.Random(5L)
+    val inPlane = (0L until 200L).map { id =>
+      val a = rng.nextGaussian().toFloat * 3f
+      val b = rng.nextGaussian().toFloat * 2f
+      (id, Array(a, b, 0f, 0f, 0f, 0f, 0f, 0f).toSeq)
+    }
+    val planted = Seq((999L, Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 10f).toSeq))
+    val e = (inPlane ++ planted).toDF("vec_id", "embedding")
+    val out = AnomalyML.pcaOutlier(e, k = 2, contamination = 0.02).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.contains(999L), s"planted outlier not flagged: $out")
+    assert(out(999L) > 50.0, s"planted err ${out(999L)} too small") // ~100 − subspace leak
+    // flagged set is the contamination-sized tail, planted err is max
+    assert(out.size <= math.ceil(201 * 0.02).toInt + 1)
+    assert(out.values.max == out(999L))
+    // corpus run: flag fraction ≈ contamination, errors non-negative
+    val corpus = AnomalyML.a7PcaOutlier(spark, sf).collect()
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(corpus.length <= n * 0.05 + 2 && corpus.length >= n * 0.02,
+      s"flagged ${corpus.length} of $n")
+    corpus.foreach(r => assert(r.getDouble(1) >= 0.0))
+  }
 }
