@@ -27,7 +27,14 @@ object TextOps {
     * product form needed a 6-dp round, and at sf0.1 one row landed
     * within an ulp of a .5 rounding boundary where Spark and DuckDB
     * round apart — single-division ratios need no rounding at all.) */
-  def qualityOver(docs: DataFrame): DataFrame = {
+  def qualityOver(docs: DataFrame): DataFrame =
+    qualityCols(docs).orderBy("doc_id")
+
+  /** Sort-free core of [[qualityOver]] — pure stateless column
+    * arithmetic, so it plans on BATCH and STREAMING frames alike
+    * (st19's admission gate applies exactly this, which is what makes
+    * the stream == t2 twin equivalence structural). */
+  def qualityCols(docs: DataFrame): DataFrame = {
     docs
       .withColumn("words", split(col("text"), " "))
       .withColumn("n_words", size(col("words")).cast("long"))
@@ -41,7 +48,6 @@ object TextOps {
           / (col("n_words") * col("n_words")))
       .select(col("doc_id"), col("n_words"), col("n_stop"),
         col("avg_word_len"), col("stop_ratio"), col("quality"))
-      .orderBy("doc_id")
   }
 
   /** t2_quality — [[qualityOver]] bound to the documents table. */

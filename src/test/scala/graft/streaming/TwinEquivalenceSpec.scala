@@ -454,6 +454,36 @@ class TwinEquivalenceSpec extends SparkSpec {
       s"stream=${streamed.size} batch=${batch.size}")
   }
 
+  test("st19 streaming quality gate == t2 batch scoring + filter on the replayed corpus") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val in = MemoryStream[(Long, String, Long)]
+    val q = StreamQuality.screen(in.toDF().toDF("doc_id", "text", "n_chars"))
+      .writeStream.format("memory").queryName("twin_st19")
+      .outputMode(OutputMode.Append).start()
+    docs.grouped(docs.length / 3 + 1).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("twin_st19").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    // batch twin: the oracle-checked t2 rows above the same floor
+    val batch = graft.operators.TextOps.t2Quality(spark, sf)
+      .filter($"quality" >= 3.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream=${streamed.size} batch=${batch.size}")
+    // the gate actually screens: some docs admitted, some rejected
+    val total = docs.length
+    assert(streamed.size < total && streamed.nonEmpty,
+      s"degenerate gate: ${streamed.size} of $total admitted")
+  }
+
   test("fromKafka's downstream path: binary value frame -> parse (MemoryStream passthrough)") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
