@@ -55,6 +55,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental (admission-time) exact dedup core: classify every doc
+    * of an incoming batch against the standing corpus — `dup_base` if
+    * its digest already exists in the base, `dup_batch` if an earlier
+    * (smaller-id) doc of the SAME batch carries it, else `new`. This is
+    * the production mode of d1: corpora grow by deltas, and
+    * re-deduplicating the full corpus per delta is O(corpus) per batch
+    * where admission is O(batch + probe).
+    *
+    * Scale: the base side reduces to its DISTINCT digest set (map-side
+    * combined) and the probe is a shuffle equi-join on the fixed-width
+    * digest — cost tracks batch size + matched digests, never
+    * base×batch; strings never shuffle. The within-batch check is one
+    * window over the batch's own digest partition. At 100 TB a
+    * broadcast Bloom of the base digests (q15's prefilter) prunes the
+    * mostly-new batch before the shuffle; st5 is the streaming twin of
+    * the same admission decision. */
+  def incrementalDedup(docs: DataFrame, isIncoming: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), md5(col("text")).as("h"),
+      isIncoming.as("inc"))
+    val base = d.filter(!col("inc")).select("h").distinct()
+      .withColumn("in_base", lit(1))
+    d.filter(col("inc"))
+      .withColumn("first_id", min("doc_id").over(Window.partitionBy("h")))
+      .join(base, Seq("h"), "left")
+      .withColumn("status",
+        when(col("in_base").isNotNull, "dup_base")
+          .when(col("first_id") < col("doc_id"), "dup_batch")
+          .otherwise("new"))
+      .select(col("doc_id"), col("h"), col("status"))
+      .orderBy("doc_id")
+  }
+
+  /** d14_incremental_dedup — [[incrementalDedup]] with a 10%
+    * hash-assigned incoming batch (the i2 split discipline).
+    * [sql-oracle]. */
+  def d14IncrementalDedup(s: SparkSession, dir: String): DataFrame =
+    incrementalDedup(Tables.documents(s, dir),
+      graft.functions.PortableHash.bucket(col("doc_id"), "incr", 10L) === 0)
+
   /** Exact embedding-cosine near-dup pairs (cos ≥ minCos) as a BLOCKED
     * TRIANGLE EQUI-JOIN (the 1-bucket-theta grid of Okcan & Riedewald,
     * SIGMOD 2011, specialized to a self-join): every vector gets a hash
@@ -681,6 +721,19 @@ object Dedup {
          |  ROUND(COALESCE(h.n_hit, 0) * 1.0 / len(sh), 6) AS hit_ratio
          |FROM s LEFT JOIN h USING (doc_id) WHERE is_test
          |ORDER BY s.doc_id""".stripMargin,
+    "d14_incremental_dedup" ->
+      s"""WITH d AS (SELECT doc_id, md5(text) AS h,
+         |    ${graft.functions.PortableHash.duckBucket("doc_id", "incr", 10L)} AS b
+         |  FROM documents),
+         |base AS (SELECT DISTINCT h FROM d WHERE b <> 0),
+         |inc AS (SELECT doc_id, h,
+         |    MIN(doc_id) OVER (PARTITION BY h) AS first_id
+         |  FROM d WHERE b = 0)
+         |SELECT doc_id, h,
+         |  CASE WHEN h IN (SELECT h FROM base) THEN 'dup_base'
+         |       WHEN first_id < doc_id THEN 'dup_batch'
+         |       ELSE 'new' END AS status
+         |FROM inc ORDER BY doc_id""".stripMargin,
     "d13_dup_weight" ->
       """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
         |c AS (SELECT h, COUNT(*) AS n_copies FROM h GROUP BY h)

@@ -128,4 +128,25 @@ class Round4cOpsSpec extends SparkSpec {
       s"flagged ${corpus.length} of $n")
     corpus.foreach(r => assert(r.getDouble(1) >= 0.0))
   }
+
+  test("d14_incremental_dedup classifies planted base/batch dups and fresh docs") {
+    import spark.implicits._
+    // base: ids 1-3; incoming: ids 10-13. 10 repeats base text "aa",
+    // 11 and 12 repeat each other ("bb"), 13 is fresh.
+    val docs = Seq((1L, "aa"), (2L, "xx"), (3L, "yy"),
+        (10L, "aa"), (11L, "bb"), (12L, "bb"), (13L, "zz"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(docs,
+        org.apache.spark.sql.functions.col("doc_id") >= 10L).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(10L -> "dup_base", 11L -> "new",
+      12L -> "dup_batch", 13L -> "new"), s"got $out")
+    // corpus run: every incoming doc classified exactly once; statuses
+    // drawn from the contract set
+    val corpus = Dedup.d14IncrementalDedup(spark, sf).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.map(_.getLong(0)).distinct.length == corpus.length)
+    corpus.foreach(r =>
+      assert(Set("dup_base", "dup_batch", "new").contains(r.getString(2))))
+  }
 }
