@@ -91,6 +91,7 @@ object SparkEntry {
     "e17_ensemble" -> (EventOps.e17Ensemble _),
     "e18_window_drift" -> ((s, d) => EventOps.e18WindowDrift(s, d)),
     "e19_autocorr" -> ((s, d) => EventOps.e19Autocorr(s, d)),
+    "e20_rate_burst" -> (EventOps.e20RateBurst _),
     "a6_holt" -> (AnomalyML.a6Holt _),
     // rows-only ops (hash/ML-algorithm-defined; spec-tested, no SQL oracle)
     "q11_approx_distinct" -> (Analytics.q11ApproxDistinct _),

@@ -155,6 +155,41 @@ object EventOps {
 
   /** e9_rate — per-minute event rate + error ratio (the dashboard-feed
     * style rollup). */
+  /** e20_rate_burst — per-type traffic-burst minutes: roll events up to
+    * (event_type, minute) counts, then flag minutes whose VOLUME sits
+    * > 3σ above that type's own per-minute distribution. e5 scores each
+    * event's value; this scores the arrival process itself — the
+    * flood/scrape/retry-storm signal no per-event statistic sees
+    * (observed minutes only: an all-quiet minute has no row, which is
+    * the right convention for bursts — absence can't burst).
+    *
+    * Scale: first rollup is one map-side-combined shuffle whose output
+    * is (types × minutes) — collapse-factor ≈ events-per-minute; the
+    * per-type moment agg over THAT is tiny and broadcast back (e5's
+    * plan shape on a pre-collapsed fact). Exact decimal sums keep z
+    * cross-engine bit-stable; sd > 0 guards the ANSI division.
+    * [sql-oracle]. */
+  def e20RateBurst(s: SparkSession, dir: String): DataFrame =
+    rateBurst(Tables.events(s, dir))
+
+  /** Generic core of [[e20RateBurst]] over any (event_type, ts) frame. */
+  def rateBurst(ev: DataFrame): DataFrame = {
+    val mc = ev
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("minute", col("ts"))).as("m"))
+      .agg(count(lit(1)).as("n"))
+    // project the stats down before the join: statsByKey's group count
+    // is also named `n` and would collide with the minute count
+    val st = statsByKey(mc, Seq("event_type"), col("n"))
+      .filter(col("sd") > 0)
+      .select(col("event_type"), col("mean"), col("sd"))
+    val z = (col("n") - col("mean")) / col("sd")
+    mc.join(broadcast(st), "event_type")
+      .filter(z > 3)
+      .select(col("event_type"), col("m"), col("n"), round(z, 6).as("z"))
+      .orderBy("event_type", "m")
+  }
+
   def e9Rate(s: SparkSession, dir: String): DataFrame = {
     val isErr = when(col("event_type") === "error", 1L).otherwise(0L)
     Tables.events(s, dir)
@@ -646,6 +681,21 @@ object EventOps {
         |  AND CAST(EXTRACT(HOUR FROM e.ts) AS INTEGER) = st.hr
         |WHERE ABS((e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))) > 3
         |ORDER BY event_id""".stripMargin,
+    "e20_rate_burst" ->
+      """WITH mc AS (SELECT event_type,
+        |    CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS m,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, COUNT(*) AS cnt,
+        |    CAST(SUM(CAST(n AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(n * n AS DECIMAL(28,10))) AS DOUBLE) AS s2
+        |  FROM mc GROUP BY event_type)
+        |SELECT mc.event_type, m, n,
+        |  ROUND((n - s1/cnt) / sqrt((s2 - s1*s1/cnt)/(cnt-1)), 6) AS z
+        |FROM mc JOIN st USING (event_type)
+        |WHERE sqrt((s2 - s1*s1/cnt)/(cnt-1)) > 0
+        |  AND (n - s1/cnt) / sqrt((s2 - s1*s1/cnt)/(cnt-1)) > 3
+        |ORDER BY event_type, m""".stripMargin,
     "e9_rate" ->
       """SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS m, COUNT(*) AS n,
         | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,

@@ -149,4 +149,26 @@ class Round4cOpsSpec extends SparkSpec {
     corpus.foreach(r =>
       assert(Set("dup_base", "dup_batch", "new").contains(r.getString(2))))
   }
+
+  test("e20_rate_burst flags a planted burst minute and nothing steady") {
+    import spark.implicits._
+    // type "steady": 5 events/minute for 40 minutes, except minute 20
+    // carries 60 events (the burst). Type "flat": constant 5/minute —
+    // zero variance, filtered by the sd > 0 guard, never flagged.
+    val base = 1700000040L // minute-aligned (divisible by 60)
+    def at(min: Int, i: Int) = new java.sql.Timestamp((base + min * 60L) * 1000L + i)
+    val steady = for (m <- 0 until 40; i <- 0 until (if (m == 20) 60 else 5))
+      yield ("steady", at(m, i))
+    val flat = for (m <- 0 until 40; i <- 0 until 5) yield ("flat", at(m, i))
+    val ev = (steady ++ flat).toDF("event_type", "ts")
+    val out = EventOps.rateBurst(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 1, s"expected exactly the planted burst, got ${out.toSeq}")
+    val (et, m, n, z) = out.head
+    assert(et == "steady" && m == base + 20 * 60 && n == 60 && z > 3.0)
+    // corpus run (sf0.001 may legitimately have no bursts): every
+    // flagged row clears the threshold
+    EventOps.e20RateBurst(spark, sf).collect()
+      .foreach(r => assert(r.getDouble(3) > 3.0))
+  }
 }
