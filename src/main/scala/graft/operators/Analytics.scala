@@ -217,6 +217,52 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** q16_colocated_join — the §5 bucketed co-located fact⋈fact join,
+    * mechanically demonstrated: lineitem and orders are laid out as
+    * bucketed+sorted tables on the SAME bucket count over the join
+    * key, so the sort-merge join needs NO exchange and NO sort at read
+    * time — matching keys already live in matching buckets in key
+    * order. At 100 TB this converts every recurring fact-fact join
+    * from "shuffle both facts" (the dominant cost) to a zip of
+    * pre-aligned buckets: the layout is paid ONCE at ingest, not per
+    * query. Here the layout step runs inline (the testdata isn't
+    * bucketed); production would point at standing bucketed tables.
+    *
+    * The answer is layout-INVARIANT — identical to the plain join —
+    * which is exactly what the DuckDB oracle checks on the raw
+    * parquet; PlanAudit-style assertions in the spec pin the claims on
+    * the physical plan with broadcast disabled: NO exchange
+    * unconditionally, and no read-time Sort either once
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` tells
+    * Spark to trust sortBy file order (safe exactly because
+    * [[graft.sources.Bucketing.writeBucketedAt]] guarantees one
+    * sorted file per bucket; the trust switch is legacy-gated since
+    * 3.0 because multi-file buckets would break it). [sql-oracle]. */
+  def q16ColocatedJoin(s: SparkSession, dir: String): DataFrame = {
+    bucketedJoinInput(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The bucketed-layout join of [[q16ColocatedJoin]] BEFORE the
+    * aggregate — the frame whose physical plan the spec audits. */
+  private[graft] def bucketedJoinInput(s: SparkSession,
+      dir: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_bucketed"
+    graft.sources.Bucketing.writeBucketedAt(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "graft_b_lineitem", "l_orderkey", 8, s"$root/lineitem")
+    graft.sources.Bucketing.writeBucketedAt(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_b_orders", "o_orderkey", 8, s"$root/orders")
+    s.table("graft_b_lineitem")
+      .join(s.table("graft_b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+  }
+
   def q13WindowSuite(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_returnflag")
       .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
@@ -373,6 +419,12 @@ object Analytics {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' AND l_quantity < 5
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q16_colocated_join" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q3_join_agg" ->
       """SELECT n_name,
         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

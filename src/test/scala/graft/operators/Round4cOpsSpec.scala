@@ -171,4 +171,45 @@ class Round4cOpsSpec extends SparkSpec {
     EventOps.e20RateBurst(spark, sf).collect()
       .foreach(r => assert(r.getDouble(3) > 3.0))
   }
+
+  test("q16 bucketed join plans as exchange-free sort-free SMJ and is layout-invariant") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Analytics.bucketedJoinInput(spark, sf)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"no SMJ in:\n$plan")
+      // co-located buckets: the join needs no shuffle — the dominant
+      // cost of a fact-fact join, gone unconditionally
+      assert(!plan.contains("Exchange"), s"exchange under the bucketed join:\n$plan")
+      // the read-time sort additionally disappears when Spark is told
+      // to trust sortBy file order (one file per bucket — which
+      // writeBucketedAt guarantees; the trust switch is legacy-gated
+      // since 3.0 because multi-file buckets would break it)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val sortedPlan = Analytics.bucketedJoinInput(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(sortedPlan.contains("SortMergeJoin") &&
+        !sortedPlan.contains("Exchange"), s"plan regressed:\n$sortedPlan")
+      assert(!sortedPlan.contains("Sort "),
+        s"read-time sort despite sorted single-file buckets:\n$sortedPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+    // layout invariance: bucketed answer == plain-join answer
+    val bucketed = Analytics.q16ColocatedJoin(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val li = graft.Tables.lineitem(spark, sf)
+    val ord = graft.Tables.orders(spark, sf)
+    import org.apache.spark.sql.functions._
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 6)))
+        .cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(bucketed.sameElements(plain))
+  }
 }
