@@ -61,6 +61,7 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed = Map(
     "q10_having_sub" -> "scalar subquery: single-row broadcast",
     "s1_ann_brute" -> "broadcast(query vectors, ≤k rows) × corpus scan — linear by design",
+    "s8_range_search" -> "broadcast(query vectors, ≤k rows) × corpus scan with threshold predicate — linear by design",
     "s4_ann_pq" -> "broadcast(query ADC tables, ≤k rows) × code scan — linear by design",
     "s7_hard_negatives" -> "broadcast(query vectors, ≤k rows) × corpus scan with label-mismatch predicate — linear by design")
 
