@@ -93,6 +93,7 @@ object SparkEntry {
     "e18_window_drift" -> ((s, d) => EventOps.e18WindowDrift(s, d)),
     "e19_autocorr" -> ((s, d) => EventOps.e19Autocorr(s, d)),
     "e20_rate_burst" -> (EventOps.e20RateBurst _),
+    "e21_coverage" -> (EventOps.e21Coverage _),
     "a6_holt" -> (AnomalyML.a6Holt _),
     // rows-only ops (hash/ML-algorithm-defined; spec-tested, no SQL oracle)
     "q11_approx_distinct" -> (Analytics.q11ApproxDistinct _),
@@ -109,6 +110,7 @@ object SparkEntry {
     "a3_kmeans_outlier" -> (AnomalyML.a3KmeansOutlier _),
     "a4_cusum_drift" -> (AnomalyML.a4CusumDrift _),
     "a7_pca_outlier" -> (AnomalyML.a7PcaOutlier _),
+    "a8_hist_drift" -> (AnomalyML.a8HistDrift _),
     "s3_ivf" -> (Similarity.s3Ivf _),
     "s4_ann_pq" -> (Similarity.s4AnnPq _),
     "s6_knn_graph" -> ((s, d) => Similarity.s6KnnGraph(s, d)),

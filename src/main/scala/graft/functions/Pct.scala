@@ -48,4 +48,13 @@ object Pct {
     if (approxEnabled(s))
       expr(s"approx_percentile($valueExpr, $p, ${accuracy(s)})")
     else expr(s"percentile($valueExpr, $p)")
+
+  /** Array form — percentile(valueExpr, array(ps)) under the same
+    * exact/approx switch (both builtins accept percentage arrays). */
+  def ofArray(s: SparkSession, valueExpr: String, ps: Seq[Double]): Column = {
+    val arr = ps.mkString("array(", ", ", ")")
+    if (approxEnabled(s))
+      expr(s"approx_percentile($valueExpr, $arr, ${accuracy(s)})")
+    else expr(s"percentile($valueExpr, $arr)")
+  }
 }

@@ -587,6 +587,70 @@ object AnomalyML {
       .orderBy("event_id")
   }
 
+  /** a8_hist_drift — distribution-drift audit per key (the production
+    * "PSI check" between a reference window and the current one): each
+    * event_type's time span splits at its midpoint, the REFERENCE half
+    * defines decile bins (its own 10..90th percentiles), both halves
+    * histogram into those bins, and the drift score is the total
+    * variation distance Σ|p_i − q_i|/2 ∈ [0, 1] — 0 = identical
+    * distributions, 1 = disjoint. TVD instead of PSI's Σ(p−q)ln(p/q):
+    * the same monotone drift signal, but computable as EXACT integer
+    * cross-multiplication — Σ|a_i·m − b_i·n| over one final IEEE
+    * division by 2nm — so the score is bit-stable cross-engine where
+    * ln is not. a4/e18 detect drift in the MEAN; this catches shape
+    * changes (variance collapse, bimodality, tail loss) that leave the
+    * mean untouched.
+    *
+    * Scale: span midpoints and decile thresholds are two tiny per-key
+    * aggregates broadcast back (thresholds via [[Pct.ofArray]] — exact
+    * default, mergeable approx at 100 TB); binning is a narrow map
+    * (9-element array filter per row); the histogram is one map-side-
+    * combined (key, side, bin) count. Nothing quadratic, nothing
+    * key-skew-sensitive beyond the count itself. [sql-oracle]
+    * (thresholds rounded 6 dp on both engines so bin assignment is
+    * bit-stable — the i9 convention). */
+  def histDrift(ev: DataFrame): DataFrame = {
+    val deciles = (1 to 9).map(_ / 10.0)
+    val s = ev.sparkSession
+    val spans = ev.groupBy("event_type")
+      .agg(min("sec").as("lo"), max("sec").as("hi"))
+      .withColumn("mid", expr("(lo + hi) div 2"))
+      .select("event_type", "mid")
+    val sided = ev.join(broadcast(spans), "event_type")
+      .withColumn("side", when(col("sec") <= col("mid"), "ref")
+        .otherwise("cur"))
+    val thr = sided.filter(col("side") === "ref")
+      .groupBy("event_type")
+      .agg(Pct.ofArray(s, "value", deciles).as("thr0"))
+      .withColumn("thr", expr("transform(thr0, t -> round(t, 6))"))
+      .select("event_type", "thr")
+    val binned = sided.join(broadcast(thr), "event_type")
+      .withColumn("bin", expr("size(filter(thr, t -> value > t))"))
+    val counts = binned.groupBy("event_type", "side", "bin")
+      .agg(count(lit(1)).as("c"))
+    val nm = counts.groupBy("event_type").agg(
+      sum(when(col("side") === "ref", col("c")).otherwise(0L)).as("n"),
+      sum(when(col("side") === "cur", col("c")).otherwise(0L)).as("m"))
+    val ab = counts.groupBy("event_type", "bin").agg(
+      sum(when(col("side") === "ref", col("c")).otherwise(0L)).as("a"),
+      sum(when(col("side") === "cur", col("c")).otherwise(0L)).as("b"))
+    ab.join(broadcast(nm), "event_type")
+      .filter(col("n") > 0 && col("m") > 0)
+      .groupBy("event_type", "n", "m")
+      .agg(sum(abs(col("a") * col("m") - col("b") * col("n"))).as("num"))
+      .withColumn("tvd",
+        col("num") * lit(1.0) / (col("n") * col("m") * lit(2L)))
+      .select(col("event_type"), col("n"), col("m"), col("tvd"))
+      .orderBy("event_type")
+  }
+
+  /** a8_hist_drift — [[histDrift]] on the events table (floor-second
+    * event times, the library-wide key convention). */
+  def a8HistDrift(s: SparkSession, dir: String): DataFrame =
+    histDrift(Tables.events(s, dir)
+      .select(col("event_type"), col("ts").cast("long").as("sec"),
+        col("value")))
+
   /** a7_pca_outlier — subspace-model anomaly detection over the
     * embeddings corpus: fit a rank-k PCA of the (mean-centered)
     * vectors, score every vector by its reconstruction error — the
@@ -664,6 +728,37 @@ object AnomalyML {
       .select(col("vec_id"), col("embedding")))
 
   val oracle: Map[String, String] = Map(
+    "a8_hist_drift" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, value
+        |  FROM events),
+        |spans AS (SELECT event_type, (MIN(sec) + MAX(sec)) // 2 AS mid
+        |  FROM ev GROUP BY event_type),
+        |sided AS (SELECT ev.event_type, value,
+        |    CASE WHEN sec <= mid THEN 'ref' ELSE 'cur' END AS side
+        |  FROM ev JOIN spans USING (event_type)),
+        |thr AS (SELECT event_type, list_transform(
+        |    quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    t -> round(t, 6)) AS thr
+        |  FROM sided WHERE side = 'ref' GROUP BY event_type),
+        |binned AS (SELECT sided.event_type, side,
+        |    len(list_filter(thr, t -> value > t)) AS bin
+        |  FROM sided JOIN thr USING (event_type)),
+        |counts AS (SELECT event_type, side, bin, COUNT(*) AS c
+        |  FROM binned GROUP BY 1, 2, 3),
+        |nm AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN side = 'ref' THEN c ELSE 0 END) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN side = 'cur' THEN c ELSE 0 END) AS BIGINT) AS m
+        |  FROM counts GROUP BY event_type),
+        |ab AS (SELECT event_type, bin,
+        |    CAST(SUM(CASE WHEN side = 'ref' THEN c ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(SUM(CASE WHEN side = 'cur' THEN c ELSE 0 END) AS BIGINT) AS b
+        |  FROM counts GROUP BY event_type, bin)
+        |SELECT ab.event_type, n, m,
+        |  CAST(SUM(ABS(a * m - b * n)) AS BIGINT) * 1.0 / (n * m * 2) AS tvd
+        |FROM ab JOIN nm USING (event_type)
+        |WHERE n > 0 AND m > 0
+        |GROUP BY ab.event_type, n, m ORDER BY event_type""".stripMargin,
     // a2's recurrence is SQL-expressible after all: a recursive CTE
     // stepping rn → rn+1 per key replays the identical float sequence
     // (same literals, same op order — 0.3·v + (1 − 0.3)·ew, first row

@@ -155,6 +155,35 @@ object EventOps {
 
   /** e9_rate — per-minute event rate + error ratio (the dashboard-feed
     * style rollup). */
+  /** e21_coverage — per-key time-series completeness audit: for every
+    * event_type, the observed-minute count vs the minutes SPANNED
+    * (first→last observed), i.e. how gappy the feed is. Ingestion
+    * monitoring asks this before any detector runs — e13/e15 repair
+    * gaps, this one MEASURES them (a silently-stalled producer shows
+    * up as coverage collapsing long before values look anomalous).
+    *
+    * Scale: one map-side-combined aggregate over (key, minute) — the
+    * e20 rollup — then a tiny per-key aggregate: two shuffles whose
+    * second input is already collapsed to minutes. Coverage is one
+    * IEEE division of exact int64s — no rounding needed. [sql-oracle]. */
+  def e21Coverage(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("minute", col("ts"))).as("m"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("observed_min"),
+        min("m").as("first_m"), max("m").as("last_m"),
+        sum("n").as("n_events"))
+      .withColumn("span_min",
+        (col("last_m") - col("first_m")) / lit(60L) + lit(1L))
+      .withColumn("coverage",
+        col("observed_min") * lit(1.0) / col("span_min"))
+      .select(col("event_type"), col("observed_min"), col("span_min"),
+        col("n_events"), col("coverage"))
+      .orderBy("event_type")
+  }
+
   /** e20_rate_burst — per-type traffic-burst minutes: roll events up to
     * (event_type, minute) counts, then flag minutes whose VOLUME sits
     * > 3σ above that type's own per-minute distribution. e5 scores each
@@ -681,6 +710,16 @@ object EventOps {
         |  AND CAST(EXTRACT(HOUR FROM e.ts) AS INTEGER) = st.hr
         |WHERE ABS((e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))) > 3
         |ORDER BY event_id""".stripMargin,
+    "e21_coverage" ->
+      """WITH mc AS (SELECT event_type,
+        |    CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS m,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, COUNT(*) AS observed_min,
+        |  (MAX(m) - MIN(m)) / 60 + 1 AS span_min,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  COUNT(*) * 1.0 / ((MAX(m) - MIN(m)) / 60 + 1) AS coverage
+        |FROM mc GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e20_rate_burst" ->
       """WITH mc AS (SELECT event_type,
         |    CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS m,

@@ -172,6 +172,45 @@ class Round4cOpsSpec extends SparkSpec {
       .foreach(r => assert(r.getDouble(3) > 3.0))
   }
 
+  test("e21_coverage invariants: observed ≤ span, events ≥ observed, coverage ∈ (0, 1]") {
+    val out = EventOps.e21Coverage(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (obs, span, nev, cov) =
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+      assert(obs >= 1 && obs <= span, s"observed $obs vs span $span")
+      assert(nev >= obs, s"events $nev < observed minutes $obs")
+      assert(cov > 0.0 && cov <= 1.0, s"coverage $cov")
+      assert(cov == obs * 1.0 / span)
+    }
+  }
+
+  test("a8_hist_drift scores planted shape drift near 1 and identical halves at 0") {
+    import spark.implicits._
+    // "shifted": ref half uniform 0..99, cur half uniform 1000..1099 —
+    // disjoint supports. Binned TVD maxes at exactly 0.9 with decile
+    // bins: ALL cur mass lands in the open top bin, which also holds
+    // the ref's own top 10% — (9×0.1 + |0.1−1.0|)/2. "stable": the
+    // SAME value sequence in both halves — identical histograms,
+    // TVD exactly 0.
+    val refSecs = 0 until 100
+    val curSecs = 200 until 300
+    val shifted = refSecs.map(i => ("shifted", i.toLong, i % 100 * 1.0)) ++
+      curSecs.map(i => ("shifted", i.toLong, 1000.0 + i % 100))
+    val stable = refSecs.map(i => ("stable", i.toLong, i % 100 * 1.0)) ++
+      curSecs.map(i => ("stable", i.toLong, i % 100 * 1.0))
+    val ev = (shifted ++ stable).toDF("event_type", "sec", "value")
+    val out = AnomalyML.histDrift(ev).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("shifted") == 0.9, s"disjoint drift scored ${out("shifted")}")
+    assert(out("stable") == 0.0, s"identical halves scored ${out("stable")}")
+    // corpus run: tvd ∈ [0, 1] for every key
+    AnomalyML.a8HistDrift(spark, sf).collect().foreach { r =>
+      val t = r.getDouble(3)
+      assert(t >= 0.0 && t <= 1.0)
+    }
+  }
+
   test("q16 bucketed join plans as exchange-free sort-free SMJ and is layout-invariant") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try {
