@@ -207,6 +207,33 @@ object Dedup {
   def d2DedupNgram(s: SparkSession, dir: String): DataFrame =
     ngramJaccard(Tables.spread(s, Tables.documents(s, dir)))
 
+  /** d15_source_overlap — cross-source duplication matrix (corpus
+    * forensics): d2's near-dup doc pairs rolled up to (source_a,
+    * source_b) counts, lexicographically ordered so the matrix is
+    * upper-triangular however ids interleave. This answers the
+    * provenance questions a dedup run raises — which feeds mirror
+    * each other, which scraper re-crawled which site, where the
+    * licensing risk concentrates — and tells the pipeline which
+    * SOURCE-level exclusions buy the most dedup for free.
+    *
+    * Scale: the pair list is d2's (inverted index, df-capped — never
+    * all-pairs); the doc→source attachment is two equi-joins on the
+    * doc id whose cost tracks PAIR count, not corpus size; the final
+    * rollup is a map-side-combined count over ≤ sources² keys.
+    * [sql-oracle]. */
+  def d15SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = ngramJaccard(Tables.spread(s, docs))
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a"), col("source").as("source_a")), "a")
+      .join(src.select(col("doc_id").as("b"), col("source").as("source_b")), "b")
+      .select(least(col("source_a"), col("source_b")).as("sa"),
+        greatest(col("source_a"), col("source_b")).as("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("sa", "sb")
+  }
+
   /** Asymmetric containment near-dup: A → B when ≥ `minCover` of A's
     * distinct k-shingles also occur in B (common/|A| — the DIRECTED
     * form of d2's symmetric Jaccard). This is the quote/excerpt/
@@ -721,6 +748,28 @@ object Dedup {
          |  ROUND(COALESCE(h.n_hit, 0) * 1.0 / len(sh), 6) AS hit_ratio
          |FROM s LEFT JOIN h USING (doc_id) WHERE is_test
          |ORDER BY s.doc_id""".stripMargin,
+    "d15_source_overlap" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |        range(greatest(len(w) - 4, 1)),
+         |        i -> array_to_string(w[i + 1:i + 5], ' '))) AS sh FROM d),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |kept AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= $MaxShingleDf),
+         |p0 AS (SELECT e.doc_id, e.g FROM e JOIN kept USING (g)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM p0 GROUP BY doc_id),
+         |p AS (SELECT p0.doc_id, n_sh, g FROM p0 JOIN cnt USING (doc_id)),
+         |pr AS (SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+         |         COUNT(*) AS common
+         |       FROM p x JOIN p y ON x.g = y.g AND x.doc_id < y.doc_id
+         |       GROUP BY 1, 2, 3, 4),
+         |q AS (SELECT a, b FROM pr
+         |      WHERE common * 1.0 / (na + nb - common) >= 0.5),
+         |m AS (SELECT LEAST(da.source, db.source) AS sa,
+         |        GREATEST(da.source, db.source) AS sb
+         |      FROM q JOIN documents da ON q.a = da.doc_id
+         |             JOIN documents db ON q.b = db.doc_id)
+         |SELECT sa, sb, COUNT(*) AS n_pairs FROM m
+         |GROUP BY sa, sb ORDER BY sa, sb""".stripMargin,
     "d14_incremental_dedup" ->
       s"""WITH d AS (SELECT doc_id, md5(text) AS h,
          |    ${graft.functions.PortableHash.duckBucket("doc_id", "incr", 10L)} AS b

@@ -172,6 +172,25 @@ class Round4cOpsSpec extends SparkSpec {
       .foreach(r => assert(r.getDouble(3) > 3.0))
   }
 
+  test("d15_source_overlap pair mass equals d2's and the matrix is upper-triangular") {
+    val pairSources = {
+      val src = graft.Tables.documents(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getString(3)).toMap
+      Dedup.d2DedupNgram(spark, sf).collect()
+        .map(r => (src(r.getLong(0)), src(r.getLong(1))))
+        .map { case (x, y) => if (x <= y) (x, y) else (y, x) }
+    }
+    val matrix = Dedup.d15SourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // total pair mass is conserved
+    assert(matrix.values.sum == pairSources.length.toLong)
+    // the matrix is EXACTLY d2's pairs grouped by ordered source pair
+    val expected = pairSources.groupBy(identity).view.mapValues(_.length.toLong)
+    assert(matrix == expected.toMap)
+    // upper-triangular: sa ≤ sb everywhere
+    matrix.keys.foreach { case (sa, sb) => assert(sa <= sb) }
+  }
+
   test("e21_coverage invariants: observed ≤ span, events ≥ observed, coverage ∈ (0, 1]") {
     val out = EventOps.e21Coverage(spark, sf).collect()
     assert(out.nonEmpty)
