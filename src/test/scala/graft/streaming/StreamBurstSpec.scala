@@ -54,6 +54,42 @@ class StreamBurstSpec extends SparkSpec {
     assert(batch.contains(("steady", base + 35 * 60)))
   }
 
+  test("st21 gap monitor alerts on a planted feed hole with exact extent, steady feed quiet") {
+    implicit val s = spark
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    // "holey": minutes 0-9 and 20-24 (a 10-minute hole); "steady":
+    // minutes 0-24 unbroken. Chunked so the hole spans micro-batches.
+    val holey = ((0 until 10) ++ (20 until 25)).map(m => tick(m, 0, "holey"))
+    val steady = (0 until 25).map(m => tick(m, 0, "steady"))
+    val events = (holey ++ steady).sortBy(_.ts.getTime)
+    val in = MemoryStream[TypedTick]
+    val q = StreamGap.detect(in.toDS())
+      .writeStream.format("memory").queryName("st21_out")
+      .outputMode(OutputMode.Append).start()
+    events.grouped(7).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val alerts = spark.table("st21_out").as[GapAlert].collect()
+    assert(alerts.length == 1, s"expected one gap alert, got ${alerts.toSeq}")
+    val a = alerts.head
+    // last event minute 9 → gap starts at minute 10, 10 minutes long,
+    // witnessed by the resumption at minute 20
+    assert(a.event_type == "holey")
+    assert(a.gap_start == base + 10 * 60)
+    assert(a.gap_minutes == 10L)
+    assert(a.resumed_m == base + 20 * 60)
+    // batch twin sanity: the e21 minute rollup over the same frame
+    // sees exactly the missing minutes (observed 15 of spanned 25)
+    val ev = holey.map(t => ("holey", t.ts)).toDF("event_type", "ts")
+    val batch = ev.groupBy($"event_type",
+        org.apache.spark.sql.functions.expr(
+          "unix_timestamp(date_trunc('minute', ts))").as("m"))
+      .count().groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count("*").as("observed"))
+      .collect().head.getLong(1)
+    assert(batch == 15L)
+  }
+
   test("st20 state stays O(1): warm-up freezes and late events drop") {
     implicit val s = spark
     implicit val sc = spark.sqlContext
