@@ -73,6 +73,7 @@ object SparkEntry {
     "t9_tfidf_topk" -> (TextOps.t9TfidfTopk _),
     "t10_repetition" -> (TextOps.t10Repetition _),
     "t14_dup_ngrams" -> (TextOps.t14DupNgrams _),
+    "t15_langid_margin" -> (TextOps.t15LangidMargin _),
     "d8_dedup_clusters" -> (Dedup.d8DedupClusters _),
     "e13_gap_fill" -> (EventOps.e13GapFill _),
     "e15_interpolate" -> (EventOps.e15Interpolate _),

@@ -323,6 +323,46 @@ object TextOps {
   def t10Repetition(s: SparkSession, dir: String): DataFrame =
     repetitionOver(Tables.documents(s, dir))
 
+  /** t15_langid_margin — language ID with CONFIDENCE: t1's marker
+    * scoring unpivoted to (doc, lang, score) rows, ranked per doc
+    * (TopKPerGroup k=2 — partial per-partition heaps, only two rows
+    * per doc per partition reach the shuffle), and the winner reported
+    * WITH its margin over the runner-up. Pipelines threshold on the
+    * margin, not the argmax: a best-by-one-marker "prediction" is
+    * noise, and routing it to a junk/mixed-language bucket beats
+    * mislabeling (the fastText-confidence discipline of CCNet-style
+    * corpus routing). Same tie-break as t1 (score desc, lang desc), so
+    * pred_lang here is ALWAYS t1's prediction — spec-pinned.
+    * [sql-oracle]. */
+  def t15LangidMargin(s: SparkSession, dir: String): DataFrame =
+    langidMargin(Tables.documents(s, dir))
+
+  /** Core of [[t15LangidMargin]] over any (doc_id, text) frame. */
+  def langidMargin(docs: DataFrame): DataFrame = {
+    val scored = langMarkers.foldLeft(
+      docs.withColumn("words", split(col("text"), " "))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"score_$lang",
+          size(filter(col("words"), w => w.isInCollection(markers))))
+    }
+    val structs = langMarkers.map { case (lang, _) =>
+      struct(col(s"score_$lang").cast("int").as("sc"), lit(lang).as("lang"))
+    }
+    val rows = scored
+      .select(col("doc_id"), explode(array(structs: _*)).as("x"))
+      .select(col("doc_id"), col("x.lang").as("lang"), col("x.sc").as("sc"))
+    graft.plans.TopKPerGroup.perKey(rows,
+        Seq(col("doc_id")), Seq(col("sc").desc, col("lang").desc), 2)
+      .groupBy("doc_id")
+      .agg(max(when(col("rank") === 1, col("lang"))).as("pred_lang"),
+        max(when(col("rank") === 1, col("sc"))).as("best_score"),
+        max(when(col("rank") === 2, col("sc"))).as("second_score"))
+      .withColumn("margin", col("best_score") - col("second_score"))
+      .select(col("doc_id"), col("pred_lang"), col("best_score"),
+        col("second_score"), col("margin"))
+      .orderBy("doc_id")
+  }
+
   /** t14_dup_ngrams — intra-doc duplicate-n-gram occupancy (Gopher
     * §A1.1's "fraction in duplicate n-grams" repetition rule, Rae et
     * al. 2021, on word bigrams): per doc, the fraction of bigram
@@ -494,6 +534,27 @@ object TextOps {
          |          ORDER BY sc DESC, lang DESC) AS rn FROM sc)
          |SELECT doc_id, lang AS pred_lang, CAST(sc AS INTEGER) AS best_score
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+    },
+    "t15_langid_margin" -> {
+      val scoreRows = langMarkers.map { case (lang, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(", ")
+        s"SELECT doc_id, '$lang' AS lang, len(list_filter(w, x -> x IN ($inList))) AS sc FROM s"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sc AS (
+         |  $scoreRows),
+         |r AS (SELECT doc_id, lang, sc,
+         |        ROW_NUMBER() OVER (PARTITION BY doc_id
+         |          ORDER BY sc DESC, lang DESC) AS rn FROM sc),
+         |t AS (SELECT doc_id,
+         |        MAX(CASE WHEN rn = 1 THEN lang END) AS pred_lang,
+         |        MAX(CASE WHEN rn = 1 THEN sc END) AS best_score,
+         |        MAX(CASE WHEN rn = 2 THEN sc END) AS second_score
+         |      FROM r WHERE rn <= 2 GROUP BY doc_id)
+         |SELECT doc_id, pred_lang, CAST(best_score AS INTEGER) AS best_score,
+         |  CAST(second_score AS INTEGER) AS second_score,
+         |  CAST(best_score - second_score AS INTEGER) AS margin
+         |FROM t ORDER BY doc_id""".stripMargin
     },
     "t14_dup_ngrams" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -172,6 +172,21 @@ class Round4cOpsSpec extends SparkSpec {
       .foreach(r => assert(r.getDouble(3) > 3.0))
   }
 
+  test("t15_langid_margin predicts exactly t1's language with a sane margin") {
+    val t1 = TextOps.t1Langid(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    val out = TextOps.t15LangidMargin(spark, sf).collect()
+    assert(out.length == t1.size)
+    out.foreach { r =>
+      val (id, lang, best, second, margin) = (r.getLong(0), r.getString(1),
+        r.getInt(2), r.getInt(3), r.getInt(4))
+      assert((lang, best) == t1(id), s"doc $id diverged from t1")
+      assert(second <= best && margin == best - second && margin >= 0)
+    }
+    // margins discriminate: some docs are confident, some ambiguous
+    assert(out.exists(_.getInt(4) >= 2) && out.exists(_.getInt(4) == 0))
+  }
+
   test("d15_source_overlap pair mass equals d2's and the matrix is upper-triangular") {
     val pairSources = {
       val src = graft.Tables.documents(spark, sf).collect()
