@@ -119,7 +119,8 @@ object SparkEntry {
     "m1_binary_meta" -> (Multimodal.m1BinaryMeta _),
     "m2_feature_stub" -> ((s, d) => Multimodal.m2FeatureStub(s, d)),
     "m3_frame_sample" -> ((s, d) => Multimodal.m3FrameSample(s, d)),
-    "m4_percep_dedup" -> ((s, d) => Multimodal.m4PercepDedup(s, d))
+    "m4_percep_dedup" -> ((s, d) => Multimodal.m4PercepDedup(s, d)),
+    "m5_percep_clusters" -> (Multimodal.m5PercepClusters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

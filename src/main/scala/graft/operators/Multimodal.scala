@@ -197,6 +197,27 @@ object Multimodal {
     out
   }
 
+  /** m5_percep_clusters — perceptual duplicate GROUPS: m4's verified
+    * pair list resolved into connected components
+    * ([[Dedup.connectedComponents]] — the same Shiloach-Vishkin
+    * pointer-jumping core d8 runs on text pairs), each member mapped
+    * to its cluster's min-id keeper. Pairwise output alone cannot
+    * make a drop decision when A~B~C but A≁C; this is that decision
+    * layer for the media side of the corpus, composed entirely from
+    * §2.D machinery — one pair-list swap and the whole dedup stack
+    * (clusters, keeper policies, soft weights) applies to images.
+    *
+    * Scale: m4's candidate volume is df-capped (never all-pairs);
+    * the CC rounds are O(log diameter) equi-joins on pair ids whose
+    * cost tracks the PAIR list, not the corpus. [rows-only]: spec
+    * pins cluster = transitive closure of m4's pairs recomputed
+    * driver-side, keeper = min id. */
+  def m5PercepClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        m4PercepDedup(s, dir).select(col("a"), col("b")))
+      .select(col("v").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy("doc_id")
+
   /** Candidate-pair count of [[percepPairs]]'s banding stage (before
     * the L1 verify) — the quantity the scale claim is about; exposed
     * for the PlanAudit quadratic-candidate guard. */

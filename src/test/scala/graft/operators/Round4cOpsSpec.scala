@@ -172,6 +172,36 @@ class Round4cOpsSpec extends SparkSpec {
       .foreach(r => assert(r.getDouble(3) > 3.0))
   }
 
+  test("m5_percep_clusters equals the driver-side transitive closure of m4's pairs") {
+    val pairs = Multimodal.m4PercepDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val out = Multimodal.m5PercepClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys
+      .map(v => v -> find(v)).toMap
+    assert(out.keySet == expected.keySet,
+      s"membership: ${out.keySet.size} vs ${expected.keySet.size}")
+    // same partition: min-label canonical form on both sides
+    val canonOut = out.groupBy(_._2).values.map(_.keys.toSet).toSet
+    val canonExp = expected.groupBy(_._2).values
+      .map(_.map(_._1).toSet).toSet
+    assert(canonOut == canonExp)
+    // keeper label is the component min
+    out.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(lbl == members.keys.min)
+    }
+  }
+
   test("t15_langid_margin predicts exactly t1's language with a sane margin") {
     val t1 = TextOps.t1Langid(spark, sf).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
