@@ -275,6 +275,31 @@ class Round4cOpsSpec extends SparkSpec {
     }
   }
 
+  test("a8 and i9 agree with themselves under the approx-percentile flag on planted extremes") {
+    import spark.implicits._
+    val refSecs = 0 until 100
+    val curSecs = 200 until 300
+    val shifted = refSecs.map(i => ("shifted", i.toLong, i % 100 * 1.0)) ++
+      curSecs.map(i => ("shifted", i.toLong, 1000.0 + i % 100))
+    val stable = refSecs.map(i => ("stable", i.toLong, i % 100 * 1.0)) ++
+      curSecs.map(i => ("stable", i.toLong, i % 100 * 1.0))
+    val ev = (shifted ++ stable).toDF("event_type", "sec", "value")
+    try {
+      spark.conf.set(graft.functions.Pct.FlagKey, "true")
+      // GK thresholds move bin EDGES slightly; the planted extremes
+      // (disjoint supports / identical halves) are edge-invariant
+      val approx = AnomalyML.histDrift(ev).collect()
+        .map(r => r.getString(0) -> r.getDouble(3)).toMap
+      assert(approx("shifted") == 0.9 && approx("stable") == 0.0, s"$approx")
+      // i9's band split stays quartile-balanced under approx thresholds
+      val bands = Sampling.i9Curriculum(spark, sf).collect()
+        .groupBy(_.getInt(1)).view.mapValues(_.length).toMap
+      val n = bands.values.sum
+      assert(bands.keySet == Set(0, 1, 2, 3))
+      bands.values.foreach(c => assert(math.abs(c - n / 4.0) <= n * 0.1 + 2))
+    } finally spark.conf.set(graft.functions.Pct.FlagKey, "false")
+  }
+
   test("q16 bucketed join plans as exchange-free sort-free SMJ and is layout-invariant") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     try {
