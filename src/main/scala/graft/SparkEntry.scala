@@ -90,6 +90,7 @@ object SparkEntry {
     "q14_pivot" -> (Analytics.q14Pivot _),
     "q15_bloom_semi" -> (Analytics.q15BloomSemi _),
     "q16_colocated_join" -> (Analytics.q16ColocatedJoin _),
+    "q17_incremental_agg" -> (Analytics.q17IncrementalAgg _),
     "e16_correlation" -> (EventOps.e16Correlation _),
     "e17_ensemble" -> (EventOps.e17Ensemble _),
     "e18_window_drift" -> ((s, d) => EventOps.e18WindowDrift(s, d)),

@@ -263,6 +263,51 @@ object Analytics {
         col("l_orderkey") === col("o_orderkey"))
   }
 
+  /** q17_incremental_agg — incremental AGGREGATE MAINTENANCE: the
+    * standing corpus (base, ~90% by stable row hash) and a fresh delta
+    * (~10%) are aggregated SEPARATELY and the partials merged — the
+    * production incremental-ETL pattern where yesterday's aggregate is
+    * a stored table and only the delta is scanned. At 100 TB this is
+    * the difference between re-reading the fact per refresh and
+    * reading 1/10th (or 1/10000th — merge cost tracks GROUP count,
+    * not data).
+    *
+    * The merge is EXACT, not approximate, because the partials stay
+    * DECIMAL until after the union-merge: decimal addition is
+    * associative, so (Σbase + Σdelta) ≡ Σall bit-for-bit — which is
+    * precisely what the oracle checks by aggregating the WHOLE fact
+    * directly, and what the spec re-proves against the one-pass form.
+    * (Partials cast to double before merging would NOT merge exactly —
+    * the same reason dsum exists at all.) Counts merge by addition;
+    * averages recompute from merged sums — never merge averages.
+    * [sql-oracle]. */
+  def q17IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash
+    def dpart(c: Column) = sum(c.cast(DecimalType(18, 6)))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        col("l_extendedprice"),
+        (PortableHash.bucket(
+          concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string")), "inc", 10L) === 0)
+          .as("is_delta"))
+    def side(delta: Boolean) = li.filter(col("is_delta") === delta)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dpart(col("l_quantity")).as("sq"),
+        dpart(col("l_extendedprice")).as("sp"))
+    // the merge: union of partial-aggregate ROWS, one tiny groupBy over
+    // ≤ groups×2 rows — the fact is never rescanned
+    side(delta = false).withColumn("src", lit("base"))
+      .unionByName(side(delta = true).withColumn("src", lit("delta")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("n").as("count_order"),
+        sum(when(col("src") === "delta", col("n")).otherwise(0L)).as("n_delta"),
+        sum("sq").cast("double").as("sum_qty"),
+        sum("sp").cast("double").as("sum_price"))
+      .withColumn("avg_price", col("sum_price") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   def q13WindowSuite(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_returnflag")
       .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
@@ -419,6 +464,18 @@ object Analytics {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' AND l_quantity < 5
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q17_incremental_agg" -> {
+      val bucket = graft.functions.PortableHash.duckBucket(
+        "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)",
+        "inc", 10L)
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS count_order,
+         | CAST(SUM(CASE WHEN $bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    },
     "q16_colocated_join" ->
       """SELECT o_orderpriority,
         | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

@@ -275,6 +275,37 @@ class Round4cOpsSpec extends SparkSpec {
     }
   }
 
+  test("q17 merged partials equal the one-pass aggregation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val merged = Analytics.q17IncrementalAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // one-pass twin over the whole fact, same decimal discipline
+    val onePass = graft.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 6))).cast("double").as("sq"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 6))).cast("double").as("sp"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(merged.keySet == onePass.keySet)
+    merged.foreach { case (k, (n, nDelta, sq, sp, avg)) =>
+      val (n1, sq1, sp1) = onePass(k)
+      assert(n == n1, s"$k count")
+      assert(sq == sq1, s"$k sum_qty: $sq vs $sq1") // BIT-equal, no tolerance
+      assert(sp == sp1, s"$k sum_price: $sp vs $sp1")
+      assert(avg == sp1 / n1)
+      assert(nDelta >= 0 && nDelta <= n)
+    }
+    // the delta split is real (≈10%)
+    val (tot, dn) = merged.values.foldLeft((0L, 0L)) {
+      case ((a, b), (n, d, _, _, _)) => (a + n, b + d)
+    }
+    assert(dn > 0 && dn < tot / 5, s"delta $dn of $tot")
+  }
+
   test("a8 and i9 agree with themselves under the approx-percentile flag on planted extremes") {
     import spark.implicits._
     val refSecs = 0 until 100
