@@ -58,12 +58,19 @@ object Sampling {
     * any engine can recompute membership from the id alone.
     * [sql-oracle]. */
   def i2SplitAssign(s: SparkSession, dir: String): DataFrame = {
-    val b = PortableHash.bucket(col("doc_id"), "split", 100L)
+    val (b, split) = splitCols(col("doc_id"))
     Tables.documents(s, dir)
-      .select(col("doc_id"), b.as("bucket"),
-        when(b < 98, "train").when(b === 98, "val").otherwise("test")
-          .as("split"))
+      .select(col("doc_id"), b.as("bucket"), split.as("split"))
       .orderBy("doc_id")
+  }
+
+  /** The ONE definition of the 98/1/1 split assignment (bucket, split)
+    * over a stable id — i2 and the st22 streaming admission router both
+    * apply exactly this, so the stream == batch twin equivalence is
+    * structural (the qualityCols discipline). */
+  def splitCols(idCol: Column): (Column, Column) = {
+    val b = PortableHash.bucket(idCol, "split", 100L)
+    (b, when(b < 98, "train").when(b === 98, "val").otherwise("test"))
   }
 
   /** Integer-exact weighted-mixture sample: given integer source weights
