@@ -59,6 +59,7 @@ object SparkEntry {
     "d13_dup_weight" -> (Dedup.d13DupWeight _),
     "d14_incremental_dedup" -> (Dedup.d14IncrementalDedup _),
     "d15_source_overlap" -> (Dedup.d15SourceOverlap _),
+    "d16_edit_pairs" -> (Dedup.d16EditPairs _),
     "d4_simhash" -> (DedupApprox.d4Simhash _),
     "d6_contamination" -> (Dedup.d6Contamination _),
     "t4_fingerprint" -> (TextOps.t4Fingerprint _),

@@ -234,6 +234,56 @@ object Dedup {
       .orderBy("sa", "sb")
   }
 
+  /** d16_edit_pairs — EDIT-DISTANCE near-dup on doc prefixes (the
+    * title/headline entity-resolution regime): pairs whose first
+    * `prefixLen` chars are within `maxDist` Levenshtein edits. Jaccard
+    * (d2/d9) sees token SETS — it misses single-character typos,
+    * inflections, and reorder-free edits that leave most tokens
+    * intact but no token equal; edit distance is the standard metric
+    * for short-string resolution, and both engines implement the
+    * identical integer DP, so the verify is bit-exact by nature.
+    *
+    * Scale: candidates come from a word-bigram inverted index over the
+    * PREFIX (df-capped at `maxDf` — the MaxShingleDf discipline, so a
+    * stopword bigram cannot go quadratic); the O(prefixLen²) DP runs
+    * ONLY on blocked candidates, never all pairs. Bigram strings
+    * shuffle here for oracle symmetry; at 100 TB hash them to longs
+    * (Shingles.index) — candidate generation is collision-tolerant
+    * because the DP verify filters. [sql-oracle]. */
+  def editPairs(docs: DataFrame, prefixLen: Int = 40, maxDist: Int = 8,
+      maxDf: Int = 50): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val pfx = docs
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("p"))
+      .cacheIf()
+    val bg = pfx.as[(Long, String)].flatMap { case (id, p) =>
+        p.split(" ").iterator.sliding(2).map(_.mkString(" "))
+          .toSet.iterator.map((g: String) => (id, g))
+      }.toDF("doc_id", "g")
+    val kept = bg.groupBy("g").count()
+      .filter(col("count") <= maxDf).select("g")
+    val bgk = bg.join(kept, "g").cacheIf()
+    val cand = bgk.select(col("doc_id").as("a"), col("g"))
+      .join(bgk.select(col("doc_id").as("b"), col("g")), "g")
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    val out = cand
+      .join(pfx.select(col("doc_id").as("a"), col("p").as("pa")), "a")
+      .join(pfx.select(col("doc_id").as("b"), col("p").as("pb")), "b")
+      .withColumn("dist", levenshtein(col("pa"), col("pb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a"), col("b"), col("dist"))
+      .orderBy("a", "b")
+      .finishIf()
+    bgk.unpersistIf()
+    pfx.unpersistIf()
+    out
+  }
+
+  /** d16_edit_pairs — [[editPairs]] bound to the documents table. */
+  def d16EditPairs(s: SparkSession, dir: String): DataFrame =
+    editPairs(Tables.spread(s, Tables.documents(s, dir)))
+
   /** Asymmetric containment near-dup: A → B when ≥ `minCover` of A's
     * distinct k-shingles also occur in B (common/|A| — the DIRECTED
     * form of d2's symmetric Jaccard). This is the quote/excerpt/
@@ -748,6 +798,21 @@ object Dedup {
          |  ROUND(COALESCE(h.n_hit, 0) * 1.0 / len(sh), 6) AS hit_ratio
          |FROM s LEFT JOIN h USING (doc_id) WHERE is_test
          |ORDER BY s.doc_id""".stripMargin,
+    "d16_edit_pairs" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents),
+        |w AS (SELECT doc_id, p, string_split(p, ' ') AS ws FROM d),
+        |bg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        range(greatest(len(ws) - 1, 1)),
+        |        i -> array_to_string(ws[i + 1:i + 2], ' ')))) AS g FROM w),
+        |kept AS (SELECT g FROM bg GROUP BY g HAVING COUNT(*) <= 50),
+        |bgk AS (SELECT doc_id, g FROM bg JOIN kept USING (g)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bgk x JOIN bgk y ON x.g = y.g AND x.doc_id < y.doc_id),
+        |v AS (SELECT a, b, levenshtein(da.p, db.p) AS dist
+        |      FROM cand JOIN d da ON cand.a = da.doc_id
+        |                 JOIN d db ON cand.b = db.doc_id)
+        |SELECT a, b, CAST(dist AS INTEGER) AS dist FROM v
+        |WHERE dist <= 8 ORDER BY a, b""".stripMargin,
     "d15_source_overlap" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |s AS (SELECT doc_id, list_distinct(list_transform(

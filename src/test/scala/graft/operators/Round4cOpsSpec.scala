@@ -275,6 +275,33 @@ class Round4cOpsSpec extends SparkSpec {
     }
   }
 
+  test("d16_edit_pairs catches a planted typo pair token-set Jaccard misses") {
+    import spark.implicits._
+    // 11 & 12 differ by ONE character INSIDE the 40-char prefix
+    // ("brown" vs "br0wn") — token-set Jaccard sees a changed token,
+    // edit distance sees 1. 13 shares a bigram with 11 (blocked
+    // together) but is far in edits. 14 shares NO bigram — never
+    // even a candidate.
+    val docs = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog table"),
+      (12L, "the quick br0wn fox jumps over the lazy dog table"),
+      (13L, "the quick red wolf sleeps under a heavy oak shelf"),
+      (14L, "completely different words appear in this one here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.editPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out.get((11L, 12L)).contains(1), s"planted typo pair missing: $out")
+    assert(!out.keySet.exists { case (a, b) => a == 14L || b == 14L },
+      "unblocked doc leaked into candidates")
+    assert(!out.contains((11L, 13L)) && !out.contains((12L, 13L)),
+      "far pair survived the distance verify")
+    // corpus invariants: dist ∈ [0, 8], pairs ordered a < b
+    Dedup.d16EditPairs(spark, sf).collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 8)
+    }
+  }
+
   test("q17 merged partials equal the one-pass aggregation bit-for-bit") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
