@@ -101,6 +101,7 @@ object SparkEntry {
     "a6_holt" -> (AnomalyML.a6Holt _),
     // rows-only ops (hash/ML-algorithm-defined; spec-tested, no SQL oracle)
     "q11_approx_distinct" -> (Analytics.q11ApproxDistinct _),
+    "q18_sketch_rollup" -> (Analytics.q18SketchRollup _),
     "e14_approx_quantile" -> (Analytics.e14ApproxQuantile _),
     "t11_heavy_hitters" -> (TextOps.t11HeavyHitters _),
     "t12_lm_quality" -> (TextOps.t12LmQuality _),

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.Pct
+import graft.Exec._
 
 /** Core relational surface (SURVEY.md §2.A).
   *
@@ -261,6 +262,39 @@ object Analytics {
     s.table("graft_b_lineitem")
       .join(s.table("graft_b_orders"),
         col("l_orderkey") === col("o_orderkey"))
+  }
+
+  /** q18_sketch_rollup — MERGEABLE distinct-count rollup via
+    * DataSketches HLL: one pass builds a per-group sketch
+    * (hll_sketch_agg), per-group estimates read off each sketch, and
+    * the GLOBAL distinct comes from merging the group sketches
+    * (hll_union_agg) — the fact is never rescanned for the rollup.
+    * This is the composability q11's approx_count_distinct lacks: its
+    * estimate is a number, dead on arrival for re-aggregation, while
+    * a STORED sketch per group/day/partition answers any later rollup
+    * (per-week, per-region, ALL) by KB-scale merges. At 100 TB this
+    * is how distinct-count dashboards actually run: sketch at ingest,
+    * merge at query.
+    *
+    * Union of same-k HLL sketches is lossless — the merged estimate
+    * EQUALS the single-pass global sketch's (spec-asserted equal, not
+    * approximately equal). [rows-only]: sketch internals are
+    * library-specific; the spec bounds every estimate against q5's
+    * exact DuckDB-oracled counts (±3% — lgK=12 rsd is ~1.6%) and pins
+    * the merge-vs-direct equality. */
+  def q18SketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderstatus"), col("o_custkey"))
+    val perGroup = o.groupBy("o_orderstatus")
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk")).cacheIf()
+    val grp = perGroup.select(col("o_orderstatus"),
+      expr("hll_sketch_estimate(sk)").as("n_cust_est"))
+    val all = perGroup
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_cust_est"))
+      .withColumn("o_orderstatus", lit("ALL"))
+      .select("o_orderstatus", "n_cust_est")
+    val out = grp.unionByName(all).orderBy("o_orderstatus").finishIf()
+    perGroup.unpersistIf()
+    out
   }
 
   /** q17_incremental_agg — incremental AGGREGATE MAINTENANCE: the

@@ -302,6 +302,28 @@ class Round4cOpsSpec extends SparkSpec {
     }
   }
 
+  test("q18 sketch rollup: merged union equals the direct global sketch, estimates near exact") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.q18SketchRollup(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = graft.Tables.orders(spark, sf)
+    // exact per-group + global distincts
+    val exact = o.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = o.select(countDistinct(col("o_custkey"))).first().getLong(0)
+    exact.foreach { case (k, n) =>
+      val est = out(k)
+      assert(math.abs(est - n) <= math.max(3, n * 0.03), s"$k: $est vs $n")
+    }
+    assert(math.abs(out("ALL") - exactAll) <= math.max(3, exactAll * 0.03))
+    // mergeability is LOSSLESS: union-of-group-sketches == one direct
+    // global sketch, estimate-for-estimate
+    val direct = o.agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))"))
+      .first().getLong(0)
+    assert(out("ALL") == direct, s"merged ${out("ALL")} vs direct $direct")
+  }
+
   test("q17 merged partials equal the one-pass aggregation bit-for-bit") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DecimalType
