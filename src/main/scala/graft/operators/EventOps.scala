@@ -155,6 +155,43 @@ object EventOps {
 
   /** e9_rate — per-minute event rate + error ratio (the dashboard-feed
     * style rollup). */
+  /** e22_seasonal_strength — per-key seasonality SCORE: the fraction of
+    * each event_type's variance explained by its own hour-of-day
+    * profile, strength = 1 − Σ(x−m_h)² / Σ(x−m̄)² ∈ (−∞, 1] (≈1 =
+    * strongly diurnal, ≈0 = the profile explains nothing). e8 FLAGS
+    * residual outliers assuming the seasonal model; this measures
+    * whether that model fits at all — the audit that says which keys
+    * e8/e19's seasonal machinery applies to and which need a
+    * non-seasonal detector. (Classical seasonal-strength diagnostic,
+    * Hyndman & Athanasopoulos FPP3 §4.4, on an hour-of-day profile.)
+    *
+    * Scale: the 24-row-per-key profile is one map-side-combined agg
+    * broadcast back over a single fact scan; residuals are per-row
+    * column arithmetic; the final per-key moments are exact decimal
+    * sums, so both engines agree bitwise (residual doubles are
+    * identical per row because m_h = s1_h/n_h is the same single
+    * division on both sides). [sql-oracle]. */
+  def e22SeasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), hour(col("ts")).as("hr"), col("value"))
+    val prof = ev.groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("nh"), dsum(col("value")).as("s1h"))
+      .withColumn("mh", col("s1h") / col("nh"))
+      .select("event_type", "hr", "mh")
+    val resid = col("value") - col("mh")
+    ev.join(broadcast(prof), Seq("event_type", "hr"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("s1"),
+        dsumSq(col("value")).as("s2"),
+        sum((resid * resid).cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .cast("double").as("sr2"))
+      .filter(col("s2") - col("s1") * col("s1") / col("n") > 0)
+      .withColumn("strength",
+        round(lit(1.0) - col("sr2") / (col("s2") - col("s1") * col("s1") / col("n")), 6))
+      .select(col("event_type"), col("n"), col("strength"))
+      .orderBy("event_type")
+  }
+
   /** e21_coverage — per-key time-series completeness audit: for every
     * event_type, the observed-minute count vs the minutes SPANNED
     * (first→last observed), i.e. how gappy the feed is. Ingestion
@@ -710,6 +747,23 @@ object EventOps {
         |  AND CAST(EXTRACT(HOUR FROM e.ts) AS INTEGER) = st.hr
         |WHERE ABS((e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))) > 3
         |ORDER BY event_id""".stripMargin,
+    "e22_seasonal_strength" ->
+      """WITH prof AS (SELECT event_type,
+        |    CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hr, COUNT(*) AS nh,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1h
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT e.event_type, e.value, (e.value - s1h / nh) AS resid
+        |  FROM events e JOIN prof ON e.event_type = prof.event_type
+        |    AND CAST(EXTRACT(HOUR FROM e.ts) AS INTEGER) = prof.hr),
+        |agg AS (SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(resid * resid AS DECIMAL(28,10))) AS DOUBLE) AS sr2
+        |  FROM j GROUP BY event_type)
+        |SELECT event_type, n,
+        |  ROUND(1.0 - sr2 / (s2 - s1 * s1 / n), 6) AS strength
+        |FROM agg WHERE s2 - s1 * s1 / n > 0
+        |ORDER BY event_type""".stripMargin,
     "e21_coverage" ->
       """WITH mc AS (SELECT event_type,
         |    CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS m,

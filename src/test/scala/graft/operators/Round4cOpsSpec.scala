@@ -302,6 +302,32 @@ class Round4cOpsSpec extends SparkSpec {
     }
   }
 
+  test("e22_seasonal_strength ranks a planted diurnal key above a flat-noise key") {
+    import spark.implicits._
+    // "diurnal": value = 10·hour + tiny per-row wiggle → the hour
+    // profile explains almost everything (strength → 1).
+    // "noise": value alternates ±1 independent of hour → the profile
+    // explains nothing (strength ≈ 0).
+    // ts written as NANOS longs — the events.parquet on-disk contract
+    // Tables.events rebuilds from (TESTDATA.md / Tables.events scaladoc)
+    val rows = (0 until 24).flatMap { h =>
+      (0 until 20).flatMap { i =>
+        val ts = (1700000040L + h * 3600L + i * 60L) * 1000000000L
+        Seq(("diurnal", ts, 10.0 * h + (i % 3) * 0.01),
+          ("noise", ts, if ((h * 20 + i) % 2 == 0) 1.0 else -1.0))
+      }
+    }
+    rows.toDF("event_type", "ts", "value")
+      .write.mode("overwrite").parquet("/tmp/e22docs/events.parquet")
+    val out = EventOps.e22SeasonalStrength(spark, "/tmp/e22docs").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("diurnal") > 0.99, s"diurnal strength ${out("diurnal")}")
+    assert(out("noise") < 0.1, s"noise strength ${out("noise")}")
+    // corpus: strength defined and ≤ 1 for every key
+    EventOps.e22SeasonalStrength(spark, sf).collect()
+      .foreach(r => assert(r.getDouble(2) <= 1.0))
+  }
+
   test("q18 sketch rollup: merged union equals the direct global sketch, estimates near exact") {
     import org.apache.spark.sql.functions._
     val out = Analytics.q18SketchRollup(spark, sf).collect()
