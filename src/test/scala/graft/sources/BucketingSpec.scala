@@ -8,6 +8,26 @@ import graft.SparkSpec
   * exchange from the join plan. */
 class BucketingSpec extends SparkSpec {
 
+  test("partitioned sink prunes partitions at read time (PartitionFilters reach the scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("sink_prune").toString
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+    Sinks.parquetPartitioned(ev, dir, Seq("event_type"))
+    // directory layout: one dir per partition value
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("event_type="))
+    assert(dirs.length >= 2, s"expected hive-style dirs, got ${dirs.toSeq}")
+    // a predicate on the partition column must prune at PLAN time:
+    // the scan's PartitionFilters carry it and only one dir is read
+    val q = spark.read.parquet(dir).filter(col("event_type") === "error")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("event_type"), s"no partition filter in:\n$plan")
+    // correctness under the layout
+    val expected = ev.filter(col("event_type") === "error").count()
+    assert(q.count() == expected && expected > 0)
+  }
+
   test("bucketed fact-fact join plans with zero exchanges") {
     val li = graft.Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_quantity", "l_extendedprice")
