@@ -86,6 +86,7 @@ object SparkEntry {
     "i7_interleave" -> (Sampling.i7Interleave _),
     "i8_token_budget" -> ((s, d) => Sampling.i8TokenBudget(s, d)),
     "i9_curriculum" -> (Sampling.i9Curriculum _),
+    "i10_epoch_shuffle" -> ((s, d) => Sampling.i10EpochShuffle(s, d)),
     "q12_grouping_sets" -> (Analytics.q12GroupingSets _),
     "q13_window_suite" -> (Analytics.q13WindowSuite _),
     "q14_pivot" -> (Analytics.q14Pivot _),

@@ -291,6 +291,37 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** i10_epoch_shuffle — a DIFFERENT deterministic global order per
+    * training epoch: i5's two-phase prefix shuffle with the epoch
+    * number folded into the hash salt, so epoch 2's order is
+    * decorrelated from epoch 1's yet both are bit-reproducible from
+    * (doc_id, epoch) alone. Multi-epoch training re-shuffles between
+    * epochs; doing it with rand() forfeits resumability — a preempted
+    * epoch 7 cannot be re-materialized — while the salted-hash order
+    * re-derives any epoch, any shard, on any engine, stateless.
+    *
+    * Scale: identical to i5 — one narrow hash map, a 512-bucket count
+    * (KBs to the driver), broadcast CASE offsets, per-bucket
+    * row_number; never a single-partition global sort. [sql-oracle]
+    * (epoch 2 bound in the queries entry). */
+  def i10EpochShuffle(s: SparkSession, dir: String,
+      epoch: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"))
+      .withColumn("ok", PortableHash.mdhash64(
+        concat(col("doc_id").cast("string"), lit(s":ep$epoch"))))
+      .withColumn("rb", expr("ok >> 55"))
+    val bucketOffset = prefixOffsetCase(
+      docs.groupBy("rb").agg(count(lit(1)).cast("long").as("tot")))
+    val w = Window.partitionBy("rb").orderBy("ok", "doc_id")
+    docs
+      .withColumn("pos",
+        bucketOffset + row_number().over(w).cast("long") - lit(1L))
+      .select(col("doc_id"), col("pos"))
+      .orderBy("doc_id")
+  }
+
   /** i9_curriculum — curriculum training order: quality quartiles form
     * bands (t2's oracle-exact score), the BEST band trains first, and
     * order within a band is the deterministic portable-hash shuffle
@@ -387,6 +418,12 @@ object Sampling {
          |          ORDER BY ${PortableHash.duckBucket("doc_id", "i6", 1000000L)}, doc_id) AS rn
          |      FROM documents) t
          |WHERE rn <= 20 ORDER BY source, rn""".stripMargin,
+    "i10_epoch_shuffle" ->
+      s"""SELECT doc_id,
+         |  ROW_NUMBER() OVER (ORDER BY
+         |    ${PortableHash.duckMdhash64("CAST(doc_id AS VARCHAR) || ':ep2'")},
+         |    doc_id) - 1 AS pos
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "i5_global_shuffle" ->
       s"""SELECT doc_id,
          |  ROW_NUMBER() OVER (ORDER BY

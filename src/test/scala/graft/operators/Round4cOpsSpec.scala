@@ -302,6 +302,23 @@ class Round4cOpsSpec extends SparkSpec {
     }
   }
 
+  test("i10_epoch_shuffle permutes per epoch, decorrelated from i5's epoch-0 order") {
+    val ep2 = Sampling.i10EpochShuffle(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ep0 = Sampling.i5GlobalShuffle(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = ep2.size
+    assert(ep2.values.toSeq.sorted == (0L until n).toSeq) // a permutation
+    // different epochs give genuinely different orders: the fraction
+    // of docs landing at the same position is ~1/n, not ~1
+    val same = ep2.count { case (id, p) => ep0(id) == p }
+    assert(same < n / 10, s"$same of $n positions unchanged across epochs")
+    // reproducible: a second evaluation derives the identical order
+    val again = Sampling.i10EpochShuffle(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == ep2)
+  }
+
   test("e22_seasonal_strength ranks a planted diurnal key above a flat-noise key") {
     import spark.implicits._
     // "diurnal": value = 10·hour + tiny per-row wiggle → the hour

@@ -510,6 +510,30 @@ class TwinEquivalenceSpec extends SparkSpec {
     assert(splits("train") > splits.getOrElse("val", 0))
   }
 
+  test("st23 streaming stratified admission == i1 batch sample on the replayed corpus") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamSample.admit(in.toDF().toDF("doc_id", "lang", "source"))
+      .writeStream.format("memory").queryName("twin_st23")
+      .outputMode(OutputMode.Append).start()
+    docs.grouped(docs.length / 3 + 1).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("twin_st23").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val batch = graft.operators.Sampling.i1StratifiedSample(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream=${streamed.size} batch=${batch.size}")
+    // the gate actually downsamples
+    assert(streamed.size < docs.length)
+  }
+
   test("fromKafka's downstream path: binary value frame -> parse (MemoryStream passthrough)") {
     implicit val sc = spark.sqlContext
     import spark.implicits._
