@@ -100,6 +100,7 @@ object SparkEntry {
     "e20_rate_burst" -> (EventOps.e20RateBurst _),
     "e21_coverage" -> (EventOps.e21Coverage _),
     "e22_seasonal_strength" -> (EventOps.e22SeasonalStrength _),
+    "e23_detector_scorecard" -> (EventOps.e23DetectorScorecard _),
     "a6_holt" -> (AnomalyML.a6Holt _),
     // rows-only ops (hash/ML-algorithm-defined; spec-tested, no SQL oracle)
     "q11_approx_distinct" -> (Analytics.q11ApproxDistinct _),

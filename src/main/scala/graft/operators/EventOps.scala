@@ -192,6 +192,56 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** e23_detector_scorecard — per-key alarm-RATE rollup across the
+    * whole detector family: how many events each of {e5 z-score,
+    * e6 MAD, e7 IQR} flags per event_type, and how many clear e17's
+    * ≥2-vote consensus. The first question a monitoring stack answers
+    * ("which keys are noisy, which detector disagrees") and the
+    * calibration audit for the thresholds themselves — a detector
+    * flagging 20% of a key is mistuned, not informative.
+    *
+    * Scale: e17's exact machinery (one cached projection, combined
+    * per-type stats, the unavoidable MAD second pass) with the
+    * per-event output collapsed to a per-key count rollup — the
+    * output is O(keys), so this is the form a dashboard polls at
+    * 100 TB where e17's row-level output feeds investigations.
+    * [sql-oracle]. */
+  def e23DetectorScorecard(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value")).cacheIf()
+    val st = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"), dsum(col("value")).as("s1"),
+        dsumSq(col("value")).as("s2"),
+        Pct.of(s, "value", 0.5).as("med"),
+        Pct.of(s, "value", 0.25).as("q1"),
+        Pct.of(s, "value", 0.75).as("q3"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - lit(1))))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    val mad = ev.join(broadcast(st.select("event_type", "med")), "event_type")
+      .withColumn("ad", abs(col("value") - col("med")))
+      .groupBy("event_type").agg(Pct.of(s, "ad", 0.5).as("mad"))
+    val z = (col("value") - col("mean")) / col("sd")
+    val rz = (col("value") - col("med")) / (lit(1.4826) * col("mad"))
+    val zf = when(abs(z) > 3, 1L).otherwise(0L)
+    val rf = when(abs(rz) > 3.5, 1L).otherwise(0L)
+    val qf = when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+      .otherwise(0L)
+    val out = ev.join(broadcast(st), "event_type")
+      .join(broadcast(mad), "event_type")
+      .withColumn("zf", zf).withColumn("rf", rf).withColumn("qf", qf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("zf")).as("n_z"),
+        sum(col("rf")).as("n_mad"), sum(col("qf")).as("n_iqr"),
+        sum(when(col("zf") + col("rf") + col("qf") >= 2, 1L).otherwise(0L))
+          .as("n_consensus"))
+      .orderBy("event_type")
+      .finishIf()
+    ev.unpersistIf()
+    out
+  }
+
   /** e21_coverage — per-key time-series completeness audit: for every
     * event_type, the observed-minute count vs the minutes SPANNED
     * (first→last observed), i.e. how gappy the feed is. Ingestion
@@ -764,6 +814,31 @@ object EventOps {
         |  ROUND(1.0 - sr2 / (s2 - s1 * s1 / n), 6) AS strength
         |FROM agg WHERE s2 - s1 * s1 / n > 0
         |ORDER BY event_type""".stripMargin,
+    "e23_detector_scorecard" ->
+      s"""WITH $zStatsCte,
+         |med AS (SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+         |        FROM events GROUP BY event_type),
+         |dd AS (SELECT e.event_id, e.event_type, e.value, med,
+         |         ABS(e.value - med) AS ad FROM events e JOIN med USING(event_type)),
+         |md AS (SELECT event_type, QUANTILE_CONT(ad, 0.5) AS mad FROM dd GROUP BY event_type),
+         |q7 AS (SELECT event_type,
+         |         QUANTILE_CONT(value, 0.25) AS q1, QUANTILE_CONT(value, 0.75) AS q3
+         |       FROM events GROUP BY event_type),
+         |f7 AS (SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q7),
+         |fl AS (SELECT e.event_type,
+         |         CASE WHEN ABS((e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))) > 3
+         |              THEN 1 ELSE 0 END AS zf,
+         |         CASE WHEN ABS((e.value - med.med) / (1.4826 * md.mad)) > 3.5
+         |              THEN 1 ELSE 0 END AS rf,
+         |         CASE WHEN e.value < f7.lo OR e.value > f7.hi THEN 1 ELSE 0 END AS qf
+         |       FROM events e JOIN st USING(event_type) JOIN med USING(event_type)
+         |            JOIN md USING(event_type) JOIN f7 USING(event_type))
+         |SELECT event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(zf) AS BIGINT) AS n_z, CAST(SUM(rf) AS BIGINT) AS n_mad,
+         |  CAST(SUM(qf) AS BIGINT) AS n_iqr,
+         |  CAST(SUM(CASE WHEN zf + rf + qf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_consensus
+         |FROM fl GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e21_coverage" ->
       """WITH mc AS (SELECT event_type,
         |    CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS m,

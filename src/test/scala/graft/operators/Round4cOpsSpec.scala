@@ -302,6 +302,24 @@ class Round4cOpsSpec extends SparkSpec {
     }
   }
 
+  test("e23 scorecard consensus counts equal e17's flagged rows per key") {
+    val card = EventOps.e23DetectorScorecard(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val e17 = EventOps.e17Ensemble(spark, sf).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    card.foreach { case (k, (n, nz, nmad, niqr, ncons)) =>
+      assert(ncons == e17.getOrElse(k, 0L), s"$k consensus mismatch")
+      assert(nz <= n && nmad <= n && niqr <= n && ncons <= n)
+      // consensus needs >= 2 detectors, so it can't exceed the sum of
+      // the two largest single-detector counts
+      val top2 = Seq(nz, nmad, niqr).sorted.takeRight(2).sum
+      assert(ncons <= top2)
+    }
+    val totalEvents = card.values.map(_._1).sum
+    assert(totalEvents == graft.Tables.events(spark, sf).count())
+  }
+
   test("i10_epoch_shuffle permutes per epoch, decorrelated from i5's epoch-0 order") {
     val ep2 = Sampling.i10EpochShuffle(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
