@@ -60,6 +60,7 @@ object SparkEntry {
     "d14_incremental_dedup" -> (Dedup.d14IncrementalDedup _),
     "d15_source_overlap" -> (Dedup.d15SourceOverlap _),
     "d16_edit_pairs" -> (Dedup.d16EditPairs _),
+    "d17_dedup_report" -> (Dedup.d17DedupReport _),
     "d4_simhash" -> (DedupApprox.d4Simhash _),
     "d6_contamination" -> (Dedup.d6Contamination _),
     "t4_fingerprint" -> (TextOps.t4Fingerprint _),

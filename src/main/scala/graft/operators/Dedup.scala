@@ -234,6 +234,35 @@ object Dedup {
       .orderBy("sa", "sb")
   }
 
+  /** d17_dedup_report — the per-source dedup IMPACT summary every
+    * corpus pipeline publishes before/after a dedup run: per source,
+    * total docs, docs involved in any exact-duplicate group
+    * (d1 digest count ≥ 2), docs a min-id keeper policy would drop,
+    * and the resulting retention rate. The matrix d15 localizes
+    * BETWEEN sources; this reports the per-source bottom line the
+    * mixture rebalancing (i3) consumes — dropping dups shifts the
+    * source distribution, and this is the table that quantifies by
+    * how much.
+    *
+    * Scale: one digest-window pass (d13's single-shuffle shape) + a
+    * map-side-combined rollup to O(sources) rows. `retention` is one
+    * IEEE division of exact int64s. [sql-oracle]. */
+  def d17DedupReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("h")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("keeper", min("doc_id").over(w))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") >= 2, 1L).otherwise(0L)).as("n_in_dup_groups"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("retention",
+        (col("n_docs") - col("n_dropped")) * lit(1.0) / col("n_docs"))
+      .orderBy("source")
+  }
+
   /** d16_edit_pairs — EDIT-DISTANCE near-dup on doc prefixes (the
     * title/headline entity-resolution regime): pairs whose first
     * `prefixLen` chars are within `maxDist` Levenshtein edits. Jaccard
@@ -801,6 +830,20 @@ object Dedup {
          |  ROUND(COALESCE(h.n_hit, 0) * 1.0 / len(sh), 6) AS hit_ratio
          |FROM s LEFT JOIN h USING (doc_id) WHERE is_test
          |ORDER BY s.doc_id""".stripMargin,
+    "d17_dedup_report" ->
+      """WITH h AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+        |g AS (SELECT doc_id, source, h,
+        |        COUNT(*) OVER (PARTITION BY h) AS n_copies,
+        |        MIN(doc_id) OVER (PARTITION BY h) AS keeper
+        |      FROM h)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_in_dup_groups,
+        |  CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  (COUNT(*) - CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+        |     AS BIGINT)) * 1.0 / COUNT(*) AS retention
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "d16_edit_pairs" ->
       """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS p FROM documents),
         |w AS (SELECT doc_id, p, string_split(p, ' ') AS ws FROM d),

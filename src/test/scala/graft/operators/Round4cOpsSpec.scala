@@ -302,6 +302,25 @@ class Round4cOpsSpec extends SparkSpec {
     }
   }
 
+  test("d17 dedup report reconciles with d1's digest groups") {
+    val d1 = Dedup.d1DedupExact(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (keeper, n_copies)
+    val report = Dedup.d17DedupReport(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // total drops across sources == total non-keeper copies in d1
+    val expectedDrops = d1.map(_._2 - 1).sum
+    val drops = report.values.map(_._3).sum
+    assert(drops == expectedDrops, s"drops $drops vs $expectedDrops")
+    // totals and rate invariants
+    val totalDocs = report.values.map(_._1).sum
+    assert(totalDocs == graft.Tables.documents(spark, sf).count())
+    report.foreach { case (src, (n, inDup, dropped, ret)) =>
+      assert(dropped <= inDup && inDup <= n, s"$src ordering")
+      assert(ret == (n - dropped) * 1.0 / n)
+    }
+  }
+
   test("e23 scorecard consensus counts equal e17's flagged rows per key") {
     val card = EventOps.e23DetectorScorecard(spark, sf).collect()
       .map(r => r.getString(0) ->
