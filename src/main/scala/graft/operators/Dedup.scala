@@ -282,8 +282,15 @@ object Dedup {
     * shuffle here for oracle symmetry; at 100 TB hash them to longs
     * (Shingles.index) — candidate generation is collision-tolerant
     * because the DP verify filters. [sql-oracle]. */
-  def editPairs(docs: DataFrame, prefixLen: Int = 40, maxDist: Int = 8,
-      maxDf: Int = 20): DataFrame = {
+  /** The blocking stage of [[editPairs]] — the ONE definition of its
+    * candidate generation (prefix projection, distinct prefix word
+    * bigrams, df cap, same-bigram self-join). The operator and the
+    * PlanAudit candidate-volume guard both call this, so the guard
+    * can never drift from what the operator plans (the knnCandidates
+    * discipline). Returns (cached prefix frame, candidate pairs) —
+    * callers unpersist the prefix frame. */
+  private[graft] def editCandidates(docs: DataFrame, prefixLen: Int,
+      maxDf: Int): (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
     val pfx = docs
@@ -295,10 +302,26 @@ object Dedup {
       }.toDF("doc_id", "g")
     val kept = bg.groupBy("g").count()
       .filter(col("count") <= maxDf).select("g")
-    val bgk = bg.join(kept, "g").cacheIf()
+    val bgk = bg.join(kept, "g")
     val cand = bgk.select(col("doc_id").as("a"), col("g"))
       .join(bgk.select(col("doc_id").as("b"), col("g")), "g")
       .filter(col("a") < col("b")).select("a", "b").distinct()
+    (pfx, cand)
+  }
+
+  /** Candidate-pair count of [[editPairs]]'s blocking stage — the
+    * quantity its scale claim is about (PlanAudit guard). */
+  private[graft] def editCandidateCount(docs: DataFrame,
+      prefixLen: Int = 40, maxDf: Int = 20): Long = {
+    val (pfx, cand) = editCandidates(docs, prefixLen, maxDf)
+    val n = cand.count()
+    pfx.unpersistIf()
+    n
+  }
+
+  def editPairs(docs: DataFrame, prefixLen: Int = 40, maxDist: Int = 8,
+      maxDf: Int = 20): DataFrame = {
+    val (pfx, cand) = editCandidates(docs, prefixLen, maxDf)
     val out = cand
       .join(pfx.select(col("doc_id").as("a"), col("p").as("pa")), "a")
       .join(pfx.select(col("doc_id").as("b"), col("p").as("pb")), "b")
@@ -307,7 +330,6 @@ object Dedup {
       .select(col("a"), col("b"), col("dist"))
       .orderBy("a", "b")
       .finishIf()
-    bgk.unpersistIf()
     pfx.unpersistIf()
     out
   }

@@ -159,6 +159,12 @@ class PlanAuditSpec extends SparkSpec {
       docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
     assert(percepCand < allPairs * 5 / 100,
       s"m4 perceptual banding degenerated: $percepCand of $allPairs pairs")
+    // d16's prefix-bigram blocking is the same failure class: a
+    // degenerate df cap admitted 40% of all pairs at sf0.1 once
+    val editCand = operators.Dedup.editCandidateCount(
+      docs.select("doc_id", "text"))
+    assert(editCand < allPairs * 5 / 100,
+      s"d16 edit blocking degenerated: $editCand of $allPairs pairs")
   }
 
   test("d9's probe→corpus fuzzy join candidates stay far below |probe|×|corpus|") {
