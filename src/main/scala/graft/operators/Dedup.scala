@@ -73,11 +73,13 @@ object Dedup {
     * the same admission decision. */
   def incrementalDedup(docs: DataFrame, isIncoming: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // cached: the digest projection feeds the base AND incoming side —
+    // uncached, the fat text column is read (and md5'd) twice
     val d = docs.select(col("doc_id"), md5(col("text")).as("h"),
-      isIncoming.as("inc"))
+      isIncoming.as("inc")).cacheIf()
     val base = d.filter(!col("inc")).select("h").distinct()
       .withColumn("in_base", lit(1))
-    d.filter(col("inc"))
+    val out = d.filter(col("inc"))
       .withColumn("first_id", min("doc_id").over(Window.partitionBy("h")))
       .join(base, Seq("h"), "left")
       .withColumn("status",
@@ -86,6 +88,9 @@ object Dedup {
           .otherwise("new"))
       .select(col("doc_id"), col("h"), col("status"))
       .orderBy("doc_id")
+      .finishIf()
+    d.unpersistIf()
+    out
   }
 
   /** d14_incremental_dedup — [[incrementalDedup]] with a 10%
@@ -224,14 +229,18 @@ object Dedup {
   def d15SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val pairs = ngramJaccard(Tables.spread(s, docs))
-    val src = docs.select(col("doc_id"), col("source"))
-    pairs
+    // cached: the 2-column source map is probed for both pair sides
+    val src = docs.select(col("doc_id"), col("source")).cacheIf()
+    val out = pairs
       .join(src.select(col("doc_id").as("a"), col("source").as("source_a")), "a")
       .join(src.select(col("doc_id").as("b"), col("source").as("source_b")), "b")
       .select(least(col("source_a"), col("source_b")).as("sa"),
         greatest(col("source_a"), col("source_b")).as("sb"))
       .groupBy("sa", "sb").agg(count(lit(1)).as("n_pairs"))
       .orderBy("sa", "sb")
+      .finishIf()
+    src.unpersistIf()
+    out
   }
 
   /** d17_dedup_report — the per-source dedup IMPACT summary every
