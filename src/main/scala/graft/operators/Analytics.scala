@@ -318,9 +318,6 @@ object Analytics {
   def q17IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableHash
     def dpart(c: Column) = sum(c.cast(DecimalType(18, 6)))
-    // cached: both sides' partial aggregates filter the SAME projected
-    // scan — one fact read, not one per side (in production the base
-    // partial is a stored table and only the delta is scanned at all)
     val li = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
         col("l_extendedprice"),
@@ -328,14 +325,13 @@ object Analytics {
           concat(col("l_orderkey").cast("string"), lit(":"),
             col("l_linenumber").cast("string")), "inc", 10L) === 0)
           .as("is_delta"))
-      .cacheIf()
     def side(delta: Boolean) = li.filter(col("is_delta") === delta)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), dpart(col("l_quantity")).as("sq"),
         dpart(col("l_extendedprice")).as("sp"))
     // the merge: union of partial-aggregate ROWS, one tiny groupBy over
     // ≤ groups×2 rows — the fact is never rescanned
-    val out = side(delta = false).withColumn("src", lit("base"))
+    side(delta = false).withColumn("src", lit("base"))
       .unionByName(side(delta = true).withColumn("src", lit("delta")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(sum("n").as("count_order"),
@@ -344,9 +340,6 @@ object Analytics {
         sum("sp").cast("double").as("sum_price"))
       .withColumn("avg_price", col("sum_price") / col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
-      .finishIf()
-    li.unpersistIf()
-    out
   }
 
   def q13WindowSuite(s: SparkSession, dir: String): DataFrame = {

@@ -73,13 +73,11 @@ object Dedup {
     * the same admission decision. */
   def incrementalDedup(docs: DataFrame, isIncoming: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // cached: the digest projection feeds the base AND incoming side —
-    // uncached, the fat text column is read (and md5'd) twice
     val d = docs.select(col("doc_id"), md5(col("text")).as("h"),
-      isIncoming.as("inc")).cacheIf()
+      isIncoming.as("inc"))
     val base = d.filter(!col("inc")).select("h").distinct()
       .withColumn("in_base", lit(1))
-    val out = d.filter(col("inc"))
+    d.filter(col("inc"))
       .withColumn("first_id", min("doc_id").over(Window.partitionBy("h")))
       .join(base, Seq("h"), "left")
       .withColumn("status",
@@ -88,9 +86,6 @@ object Dedup {
           .otherwise("new"))
       .select(col("doc_id"), col("h"), col("status"))
       .orderBy("doc_id")
-      .finishIf()
-    d.unpersistIf()
-    out
   }
 
   /** d14_incremental_dedup — [[incrementalDedup]] with a 10%
@@ -229,18 +224,14 @@ object Dedup {
   def d15SourceOverlap(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val pairs = ngramJaccard(Tables.spread(s, docs))
-    // cached: the 2-column source map is probed for both pair sides
-    val src = docs.select(col("doc_id"), col("source")).cacheIf()
-    val out = pairs
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
       .join(src.select(col("doc_id").as("a"), col("source").as("source_a")), "a")
       .join(src.select(col("doc_id").as("b"), col("source").as("source_b")), "b")
       .select(least(col("source_a"), col("source_b")).as("sa"),
         greatest(col("source_a"), col("source_b")).as("sb"))
       .groupBy("sa", "sb").agg(count(lit(1)).as("n_pairs"))
       .orderBy("sa", "sb")
-      .finishIf()
-    src.unpersistIf()
-    out
   }
 
   /** d17_dedup_report — the per-source dedup IMPACT summary every

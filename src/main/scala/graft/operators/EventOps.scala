@@ -172,17 +172,14 @@ object EventOps {
     * identical per row because m_h = s1_h/n_h is the same single
     * division on both sides). [sql-oracle]. */
   def e22SeasonalStrength(s: SparkSession, dir: String): DataFrame = {
-    // cached: the projection feeds the profile agg AND the residual
-    // join — one fact scan
     val ev = Tables.events(s, dir)
       .select(col("event_type"), hour(col("ts")).as("hr"), col("value"))
-      .cacheIf()
     val prof = ev.groupBy("event_type", "hr")
       .agg(count(lit(1)).as("nh"), dsum(col("value")).as("s1h"))
       .withColumn("mh", col("s1h") / col("nh"))
       .select("event_type", "hr", "mh")
     val resid = col("value") - col("mh")
-    val out = ev.join(broadcast(prof), Seq("event_type", "hr"))
+    ev.join(broadcast(prof), Seq("event_type", "hr"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("s1"),
         dsumSq(col("value")).as("s2"),
@@ -193,9 +190,6 @@ object EventOps {
         round(lit(1.0) - col("sr2") / (col("s2") - col("s1") * col("s1") / col("n")), 6))
       .select(col("event_type"), col("n"), col("strength"))
       .orderBy("event_type")
-      .finishIf()
-    ev.unpersistIf()
-    out
   }
 
   /** e23_detector_scorecard — per-key alarm-RATE rollup across the
@@ -296,26 +290,20 @@ object EventOps {
 
   /** Generic core of [[e20RateBurst]] over any (event_type, ts) frame. */
   def rateBurst(ev: DataFrame): DataFrame = {
-    // the minute rollup feeds the stats agg AND the scoring join —
-    // cached, so the fact is scanned once, not once per lineage
     val mc = ev
       .groupBy(col("event_type"),
         unix_timestamp(date_trunc("minute", col("ts"))).as("m"))
       .agg(count(lit(1)).as("n"))
-      .cacheIf()
     // project the stats down before the join: statsByKey's group count
     // is also named `n` and would collide with the minute count
     val st = statsByKey(mc, Seq("event_type"), col("n"))
       .filter(col("sd") > 0)
       .select(col("event_type"), col("mean"), col("sd"))
     val z = (col("n") - col("mean")) / col("sd")
-    val out = mc.join(broadcast(st), "event_type")
+    mc.join(broadcast(st), "event_type")
       .filter(z > 3)
       .select(col("event_type"), col("m"), col("n"), round(z, 6).as("z"))
       .orderBy("event_type", "m")
-      .finishIf()
-    mc.unpersistIf()
-    out
   }
 
   def e9Rate(s: SparkSession, dir: String): DataFrame = {

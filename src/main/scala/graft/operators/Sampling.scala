@@ -340,13 +340,8 @@ object Sampling {
     * percentile-interpolation convention). [sql-oracle]. */
   def i9Curriculum(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.Exec._
-    // cached: the threshold agg (an action at build time) and the
-    // banding plan both consume the quality frame — uncached, the fat
-    // text column is read and re-scored twice
     val q = graft.operators.TextOps.qualityOver(Tables.documents(s, dir))
       .select(col("doc_id"), col("quality"))
-      .cacheIf()
     val Array(t1, t2, t3) = q.agg(
         round(graft.functions.Pct.of(s, "quality", 0.25), 6).as("t1"),
         round(graft.functions.Pct.of(s, "quality", 0.5), 6).as("t2"),
@@ -366,14 +361,11 @@ object Sampling {
     val bucketOffset = prefixOffsetCase(
       docs.groupBy("rb").agg(count(lit(1)).cast("long").as("tot")))
     val w = Window.partitionBy("rb").orderBy("ok", "doc_id")
-    val out = docs
+    docs
       .withColumn("pos",
         bucketOffset + row_number().over(w).cast("long") - lit(1L))
       .select(col("doc_id"), col("band"), col("pos"))
       .orderBy("doc_id")
-      .finishIf()
-    q.unpersistIf()
-    out
   }
 
   private def duckWeight =
