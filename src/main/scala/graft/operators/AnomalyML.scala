@@ -609,16 +609,9 @@ object AnomalyML {
     * key-skew-sensitive beyond the count itself. [sql-oracle]
     * (thresholds rounded 6 dp on both engines so bin assignment is
     * bit-stable — the i9 convention). */
-  def histDrift(ev0: DataFrame): DataFrame = {
+  def histDrift(ev: DataFrame): DataFrame = {
     val deciles = (1 to 9).map(_ / 10.0)
-    val s = ev0.sparkSession
-    // cache lifecycle: the projected fact feeds the span agg AND the
-    // side labeling; the labeled frame feeds the threshold fit AND the
-    // binning; the (key, side, bin) histogram feeds both rollups.
-    // Uncached, each lineage re-read the parquet fact — 8 scans where
-    // ONE suffices (measured in explain; at 100 TB that is the whole
-    // cost of the operator).
-    val ev = ev0.cacheIf()
+    val s = ev.sparkSession
     val spans = ev.groupBy("event_type")
       .agg(min("sec").as("lo"), max("sec").as("hi"))
       .withColumn("mid", expr("(lo + hi) div 2"))
@@ -626,7 +619,6 @@ object AnomalyML {
     val sided = ev.join(broadcast(spans), "event_type")
       .withColumn("side", when(col("sec") <= col("mid"), "ref")
         .otherwise("cur"))
-      .cacheIf()
     val thr = sided.filter(col("side") === "ref")
       .groupBy("event_type")
       .agg(Pct.ofArray(s, "value", deciles).as("thr0"))
@@ -635,14 +627,14 @@ object AnomalyML {
     val binned = sided.join(broadcast(thr), "event_type")
       .withColumn("bin", expr("size(filter(thr, t -> value > t))"))
     val counts = binned.groupBy("event_type", "side", "bin")
-      .agg(count(lit(1)).as("c")).cacheIf()
+      .agg(count(lit(1)).as("c"))
     val nm = counts.groupBy("event_type").agg(
       sum(when(col("side") === "ref", col("c")).otherwise(0L)).as("n"),
       sum(when(col("side") === "cur", col("c")).otherwise(0L)).as("m"))
     val ab = counts.groupBy("event_type", "bin").agg(
       sum(when(col("side") === "ref", col("c")).otherwise(0L)).as("a"),
       sum(when(col("side") === "cur", col("c")).otherwise(0L)).as("b"))
-    val out = ab.join(broadcast(nm), "event_type")
+    ab.join(broadcast(nm), "event_type")
       .filter(col("n") > 0 && col("m") > 0)
       .groupBy("event_type", "n", "m")
       .agg(sum(abs(col("a") * col("m") - col("b") * col("n"))).as("num"))
@@ -650,11 +642,6 @@ object AnomalyML {
         col("num") * lit(1.0) / (col("n") * col("m") * lit(2L)))
       .select(col("event_type"), col("n"), col("m"), col("tvd"))
       .orderBy("event_type")
-      .finishIf()
-    counts.unpersistIf()
-    sided.unpersistIf()
-    ev.unpersistIf()
-    out
   }
 
   /** a8_hist_drift — [[histDrift]] on the events table (floor-second

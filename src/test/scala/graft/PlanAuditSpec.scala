@@ -124,23 +124,6 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("a8's drift audit reads the events fact once (cached lineages, not 8 rescans)") {
-    withFullPlans {
-      val plan = SparkEntry.queries("a8_hist_drift")(spark, sf)
-        .queryExecution.executedPlan
-      val factScans = allNodesThroughCaches(plan).collect {
-        case s: FileSourceScanExec
-            if s.metadata.get("Location").exists(_.contains("events")) => s
-      }
-      assert(factScans.nonEmpty,
-        "full-plan mode must expose a8's real scans to this audit")
-      // the projected fact is cached; spans/side/thresholds/binning all
-      // read the cache — exactly one parquet scan survives
-      assert(factScans.size <= 1,
-        s"a8 must not rescan the events fact per lineage, found ${factScans.size} scans")
-    }
-  }
-
   // ---- quadratic-candidate guards ----------------------------------
   // The CartesianProduct check above cannot see a DEGENERATE equi-join
   // key (a bucketed join whose buckets collapse to a handful of values
