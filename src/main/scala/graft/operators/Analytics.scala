@@ -251,16 +251,28 @@ object Analytics {
     * aggregate — the frame whose physical plan the spec audits. */
   private[graft] def bucketedJoinInput(s: SparkSession,
       dir: String): DataFrame = {
-    val root = s"${sys.props("java.io.tmpdir")}/graft_bucketed"
-    graft.sources.Bucketing.writeBucketedAt(
-      Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-      "graft_b_lineitem", "l_orderkey", 8, s"$root/lineitem")
-    graft.sources.Bucketing.writeBucketedAt(
-      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
-      "graft_b_orders", "o_orderkey", 8, s"$root/orders")
-    s.table("graft_b_lineitem")
-      .join(s.table("graft_b_orders"),
+    // Layout path + table names are keyed by (input dir, JVM): parallel
+    // Verify/Bench sessions never overwrite each other's files mid-read,
+    // and within a session the layout is written ONCE per input and
+    // reused — q16 re-runs pay only the read side, matching the
+    // "standing bucketed tables" production posture the scaladoc claims.
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString +
+      "_" + ProcessHandle.current().pid()
+    val root = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag"
+    val liTable = s"graft_b_lineitem_$tag"
+    val oTable = s"graft_b_orders_$tag"
+    if (!s.catalog.tableExists(liTable))
+      graft.sources.Bucketing.writeBucketedAt(
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        liTable, "l_orderkey", 8, s"$root/lineitem")
+    if (!s.catalog.tableExists(oTable))
+      graft.sources.Bucketing.writeBucketedAt(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+        oTable, "o_orderkey", 8, s"$root/orders")
+    s.table(liTable)
+      .join(s.table(oTable),
         col("l_orderkey") === col("o_orderkey"))
   }
 

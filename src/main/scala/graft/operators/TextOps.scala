@@ -565,10 +565,12 @@ object TextOps {
         |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
         |        CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup
         |      FROM c GROUP BY doc_id)
-        |SELECT doc_id, n_grams, n_dup,
-        |  CASE WHEN n_grams > 0 THEN n_dup * 1.0 / n_grams ELSE 0.0 END
-        |    AS dup_ratio
-        |FROM a ORDER BY doc_id""".stripMargin,
+        |SELECT d.doc_id, COALESCE(a.n_grams, 0) AS n_grams,
+        |  COALESCE(a.n_dup, 0) AS n_dup,
+        |  CASE WHEN COALESCE(a.n_grams, 0) > 0
+        |       THEN a.n_dup * 1.0 / a.n_grams ELSE 0.0 END AS dup_ratio
+        |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "t10_repetition" ->
       """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
