@@ -136,5 +136,5 @@ object SparkEntry {
     Analytics.oracle ++ EventOps.oracle ++ Dedup.oracle ++
       DedupApprox.oracle ++ Similarity.oracle ++ TextOps.oracle ++
       AsOf.oracle ++ RangeJoin.oracle ++ Sampling.oracle ++
-      AnomalyML.oracle
+      AnomalyML.oracle ++ Multimodal.oracle
 }

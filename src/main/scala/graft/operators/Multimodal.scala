@@ -27,19 +27,43 @@ case class FrameFeat(doc_id: Long, frame_idx: Int, offset: Int,
 object Multimodal {
 
   /** STUB decode: stands in for an image/audio decoder. Deterministic
-    * byte statistics so specs can assert exact values. */
+    * byte statistics so specs can assert exact values — and every piece
+    * is engine-portable so m1/m3 face the full DuckDB hash oracle: the
+    * mean is ONE IEEE division of exact integers (no rounding — both
+    * engines' correctly-rounded `/` agree bit-for-bit), and the
+    * fingerprint is [[PortableHash]]'s md5-prefix-15 taken over the
+    * UPPERCASE hex encoding of the bytes (DuckDB's `md5` only accepts
+    * VARCHAR, and `hex()` is uppercase in both engines). */
   private[graft] def decodeStub(payload: Array[Byte]): (Double, Int, Long) = {
     var sum = 0L
     var mx = 0
-    var h = 1469598103934665603L
     payload.foreach { b =>
       val u = b & 0xff
       sum += u
       if (u > mx) mx = u
-      h = (h ^ u) * 1099511628211L
     }
     val mean = if (payload.isEmpty) 0.0 else sum.toDouble / payload.length
-    (math.rint(mean * 1e6) / 1e6, mx, h)
+    (mean, mx, md5Prefix15(payload))
+  }
+
+  private val HexDigits = "0123456789ABCDEF".toCharArray
+
+  /** JVM twin of `('0x'||substr(md5(hex(payload)),1,15))::BIGINT`. */
+  private[graft] def md5Prefix15(payload: Array[Byte]): Long = {
+    val hx = new Array[Byte](payload.length * 2)
+    var i = 0
+    while (i < payload.length) {
+      val u = payload(i) & 0xff
+      hx(2 * i) = HexDigits(u >> 4).toByte
+      hx(2 * i + 1) = HexDigits(u & 0xf).toByte
+      i += 1
+    }
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(hx)
+    // first 15 hex chars = first 7.5 bytes — take 60 bits big-endian
+    var h = 0L
+    var j = 0
+    while (j < 7) { h = (h << 8) | (digest(j) & 0xffL); j += 1 }
+    (h << 4) | ((digest(7) & 0xf0L) >> 4)
   }
 
   /** Shared stub "decode": L1-normalized 8-bin byte-range histogram
@@ -278,7 +302,9 @@ object Multimodal {
     *
     * Scale: narrow flatMap — output is nFrames rows per doc regardless
     * of payload size, so downstream feature joins see bounded fan-out
-    * and no shuffle happens here at all. */
+    * and no shuffle happens here at all. [sql-oracle]: the stride
+    * arithmetic is integer-exact and the per-frame stats are portable
+    * ([[decodeStub]]), so DuckDB replays the sampling over hex slices. */
   def m3FrameSample(s: SparkSession, dir: String, nFrames: Int = 4,
       frameBytes: Int = 64): DataFrame = {
     import s.implicits._
@@ -302,7 +328,10 @@ object Multimodal {
 
   /** m1_binary_meta — binary payload column + per-partition batched
     * feature extraction (mapPartitions = the Scala shape of a
-    * mapInPandas batch UDF). */
+    * mapInPandas batch UDF). [sql-oracle]: every stub feature is
+    * engine-portable (exact integer stats, one IEEE division, md5
+    * fingerprint — see [[decodeStub]]), so DuckDB replays the whole
+    * decode byte-for-byte from `hex(encode(text))`. */
   def m1BinaryMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -317,4 +346,50 @@ object Multimodal {
       .toDF()
       .orderBy("doc_id")
   }
+
+  /** DuckDB oracles for the deterministic stub-decode ops: rebuild the
+    * byte stream as `hex(encode(text))` and replay [[decodeStub]] —
+    * 2-hex-char slices are the bytes, `list_sum`/`list_max` the exact
+    * integer stats, and the fingerprint is md5 over the hex string
+    * itself (same uppercase alphabet both engines). */
+  private[graft] val oracle: Map[String, String] = Map(
+    "m1_binary_meta" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |             octet_length(encode(text)) AS n FROM documents),
+        |u AS (SELECT doc_id, n, hx,
+        |        list_transform(range(n),
+        |          i -> ('0x' || substr(hx, CAST(2*i+1 AS INT), 2))::INT)
+        |          AS bytes
+        |      FROM b)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+        |  CASE WHEN n > 0 THEN CAST(list_sum(bytes) AS DOUBLE) / n
+        |       ELSE 0.0 END AS mean_byte,
+        |  CAST(COALESCE(list_max(bytes), 0) AS INTEGER) AS max_byte,
+        |  ('0x' || substr(md5(hx), 1, 15))::BIGINT AS feat_hash
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "m3_frame_sample" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |             octet_length(encode(text)) AS len FROM documents),
+        |p AS (SELECT doc_id, hx, len,
+        |        least(4, greatest(1, len // 64)) AS n FROM b),
+        |f AS (SELECT doc_id, hx, len, n, unnest(range(n)) AS i FROM p),
+        |fr AS (SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |         CAST(CASE WHEN n = 1 THEN 0
+        |              ELSE ((len - 64) * i) // (n - 1) END AS INTEGER)
+        |           AS off
+        |       FROM f),
+        |w AS (SELECT doc_id, frame_idx, off,
+        |        substr(hx, 2 * off + 1, 128) AS fhx
+        |      FROM fr JOIN b USING (doc_id)),
+        |u AS (SELECT doc_id, frame_idx, off, fhx,
+        |        list_transform(range(length(fhx) // 2),
+        |          j -> ('0x' || substr(fhx, CAST(2*j+1 AS INT), 2))::INT)
+        |          AS bytes
+        |      FROM w)
+        |SELECT doc_id, frame_idx, off AS "offset",
+        |  CASE WHEN length(fhx) > 0
+        |       THEN CAST(list_sum(bytes) AS DOUBLE) / (length(fhx) // 2)
+        |       ELSE 0.0 END AS mean_byte,
+        |  ('0x' || substr(md5(fhx), 1, 15))::BIGINT AS frame_hash
+        |FROM u ORDER BY doc_id, frame_idx""".stripMargin)
 }
