@@ -27,10 +27,16 @@ object Bench {
     // poison back-to-back runs of the SAME query, but a sweep puts
     // minutes between a query's samples so a burst lands on different
     // queries in different passes — min-of-N then recovers the true cost.
+    // dev knobs: SPARK_GRAFT_ONLY=a1_isoforest,t12_lm_quality limits the
+    // sweep; SPARK_GRAFT_PASSES=6 raises the min-of-N count
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+      .filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
-    for (pass <- 1 to 3; name <- names) {
+    for (pass <- 1 to passes; name <- names) {
       val fn = SparkEntry.queries(name)
       // a query that throws is a FAILURE, never a timing — recording the
       // elapsed time of an instant crash would let a regression read as
@@ -75,8 +81,8 @@ object Bench {
     if (!f.exists()) Map.empty
     else {
       val Row = """\|\s*([a-z]\w+)\s*\|\s*([0-9.]+)\s*\|""".r
-      scala.io.Source.fromFile(f).getLines()
-        .collect { case Row(q, s) => q -> s.toDouble }.toMap
+      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .linesIterator.collect { case Row(q, s) => q -> s.toDouble }.toMap
     }
   }
 

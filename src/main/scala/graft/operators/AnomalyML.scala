@@ -67,12 +67,19 @@ object AnomalyML {
       .collect()
       .groupBy(_.getString(0))
       .map { case (k, rows) => k -> rows.map(r => Array(r.getDouble(1))) }
+    // the fitted forests compile to per-key step functions (sorted
+    // boundaries + precomputed scores — see Step1): scoring drops from
+    // 100 tree walks/row to one binary search/row, allocation-free.
+    // Measured at sf0.1: 2.14 s → 1.22 s min-of-3 (r5).
     val forests = pool.map { case (k, xs) =>
-      k -> GraftIsolationForest.fit(xs.toArray, numTrees = 100, sampleSize = 256, seed = 42L)
+      k -> GraftIsolationForest.compile1(
+        GraftIsolationForest.fit(xs.toArray, numTrees = 100, sampleSize = 256, seed = 42L))
     }
     val bc = s.sparkContext.broadcast(forests)
-    val scoreUdf = udf((t: String, v: Double) =>
-      bc.value.get(t).map(_.score(Array(v))).getOrElse(0.5))
+    val scoreUdf = udf { (t: String, v: Double) =>
+      val st = bc.value.getOrElse(t, null)
+      if (st == null) 0.5 else st.score(v)
+    }
     // cached: the forest-scoring UDF pass is the dominant cost and
     // feeds BOTH the contamination-quantile cut and the flag join —
     // uncached it runs twice (the a3 lesson, ADVICE r1)

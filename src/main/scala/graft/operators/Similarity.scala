@@ -370,13 +370,33 @@ object Similarity {
     val bc = s.sparkContext.broadcast(pq)
     val encodeUdf = udf((v: Seq[Float]) => bc.value.encode(v))
     val cnUdf = udf((code: Array[Byte]) => math.sqrt(bc.value.normSq(code)))
-    val tableUdf = udf((v: Seq[Float]) => bc.value.dotTable(v).map(_.toSeq).toSeq)
-    val adcUdf = udf((tab: Seq[Seq[Double]], code: Array[Byte]) => {
+    // Per-query ADC tables are computed ONCE driver-side and broadcast
+    // as flat primitive arrays (queries are collect-bounded by the same
+    // assumption that lets them broadcast at all). The previous form
+    // carried the table as a nested array COLUMN through the join, so
+    // every scanned pair re-materialized a boxed Seq[Seq[Double]] —
+    // ~m×k allocations per row on the hottest loop. Now the per-pair
+    // cost is one map lookup + m primitive reads. Measured at sf0.1:
+    // 0.96 s → 0.80 s min-of-3 (r5).
+    val kk = pq.k
+    val qtabFlat: Map[Long, Array[Double]] = queries
+      .select(col("vec_id"), col("embedding")).collect().map { r =>
+        val tab = pq.dotTable(r.getSeq[Float](1))
+        val flat = new Array[Double](pq.m * kk)
+        var si = 0
+        while (si < pq.m) {
+          System.arraycopy(tab(si), 0, flat, si * kk, kk); si += 1
+        }
+        r.getLong(0) -> flat
+      }.toMap
+    val bcTabs = s.sparkContext.broadcast(qtabFlat)
+    val adcUdf = udf { (qid: Long, code: Array[Byte]) =>
+      val t = bcTabs.value(qid)
       var d = 0.0
       var i = 0
-      while (i < code.length) { d += tab(i)(code(i) & 0xff); i += 1 }
+      while (i < code.length) { d += t(i * kk + (code(i) & 0xff)); i += 1 }
       d
-    })
+    }
     // the PQ scan sees ONLY the compressed representation: 8 code bytes
     // + a cached approximate norm per corpus vector
     val codes = corpus
@@ -384,10 +404,9 @@ object Similarity {
       .withColumn("cn_pq", cnUdf(col("code")))
     val qtabs = queries
       .select(col("vec_id").as("qid"), col("embedding").as("eq"),
-        sqrt(VectorOps.normSq(col("embedding"))).as("qn"),
-        tableUdf(col("embedding")).as("qtab"))
+        sqrt(VectorOps.normSq(col("embedding"))).as("qn"))
     val approx = codes.join(broadcast(qtabs))
-      .withColumn("acos", adcUdf(col("qtab"), col("code")) / (col("qn") * col("cn_pq")))
+      .withColumn("acos", adcUdf(col("qid"), col("code")) / (col("qn") * col("cn_pq")))
     val short = graft.plans.TopKPerGroup.perKey(
         approx, Seq(col("qid")), Seq(col("acos").desc, col("cid")), shortlist)
       .select("qid", "cid", "eq", "qn")

@@ -34,6 +34,23 @@ class IsolationForestSpec extends AnyFunSuite {
     probes.foreach(p => assert(f1.score(p) == f2.score(p)))
   }
 
+  test("compiled 1-D step function is bit-identical to direct scoring") {
+    val rng = new scala.util.Random(3L)
+    val pool = Array.fill(800)(Array(rng.nextGaussian()))
+    val f = GraftIsolationForest.fit(pool, numTrees = 100,
+      sampleSize = 256, seed = 42L)
+    val step = GraftIsolationForest.compile1(f)
+    // probe ON boundaries (exact-equality routing), between them, and
+    // far outside the training range
+    val probes = step.bounds.take(500) ++
+      step.bounds.sliding(2).take(500).map(p => (p(0) + p(1)) / 2) ++
+      Array(-1e9, 1e9, 0.0) ++ Array.fill(1000)(rng.nextGaussian() * 3)
+    probes.foreach { v =>
+      assert(step.score(v) == f.score1(v), s"step diverged at $v")
+      assert(f.score1(v) == f.score(Array(v)), s"score1 diverged at $v")
+    }
+  }
+
   test("avgPathLen matches the closed form on small n") {
     assert(GraftIsolationForest.avgPathLen(1.0) == 0.0)
     assert(GraftIsolationForest.avgPathLen(2.0) == 1.0)
