@@ -8,19 +8,39 @@ Mirrors what the driver does: registers the sf parquet tables in DuckDB,
 runs each oracle_sql.json entry, and compares against the Spark parquet
 dump (columns sorted by name, rows sorted, values hashed).
 """
-import sys, json, glob, os
+import sys, json, glob, os, threading
 import duckdb
 import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+# optional: 4th arg = per-oracle DuckDB timeout (sec); 3rd = name filter
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 and sys.argv[3] else None
+timeout = float(sys.argv[4]) if len(sys.argv) > 4 else None
 con = duckdb.connect()
+
+
+def run_oracle(sql):
+    """Execute with an optional wall-clock cap (con.interrupt() from a
+    watchdog thread) — some exact-replay oracles (recursive CTEs over
+    1M rows) price out of DuckDB at sf1; a timeout records that honestly
+    instead of hanging the sweep."""
+    if timeout is None:
+        return con.execute(sql).df()
+    timer = threading.Timer(timeout, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).df()
+    finally:
+        timer.cancel()
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f).replace(".parquet", "")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-n_ok = n_bad = 0
+n_ok = n_bad = n_to = 0
 for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
     spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not spark_files:
         print(f"FAIL {name}: no spark output")
@@ -28,8 +48,16 @@ for name, sql in sorted(oracle.items()):
         continue
     got = pd.concat([pd.read_parquet(f) for f in sorted(spark_files)])
     try:
-        exp = con.execute(sql).df()
+        exp = run_oracle(sql)
+    except duckdb.InterruptException:
+        print(f"TIMEOUT {name}: oracle exceeded {timeout}s in duckdb")
+        n_to += 1
+        continue
     except Exception as ex:
+        if "INTERRUPT" in str(ex).upper():
+            print(f"TIMEOUT {name}: oracle exceeded {timeout}s in duckdb")
+            n_to += 1
+            continue
         print(f"FAIL {name}: duckdb error: {ex}")
         n_bad += 1
         continue
@@ -63,5 +91,5 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"OK   {name} ({len(got)} rows)")
         n_ok += 1
-print(f"== {n_ok} ok, {n_bad} bad ==")
+print(f"== {n_ok} ok, {n_bad} bad, {n_to} timeout ==")
 sys.exit(1 if n_bad else 0)

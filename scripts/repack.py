@@ -14,9 +14,13 @@ for table_dir in sorted(glob.glob(os.path.join(d, "*.parquet"))):
     parts = sorted(glob.glob(os.path.join(table_dir, "*.parquet")))
     t = pa.concat_tables([pq.read_table(p) for p in parts])
     name = os.path.basename(table_dir)
-    if name == "events.parquet":
-        i = t.schema.get_field_index("ts")
-        t = t.set_column(i, "ts", t.column("ts").cast(pa.timestamp("ns")))
+    # driver layout: every timestamp is ms EXCEPT events.ts, which is ns
+    # (Spark writes INT96, which pyarrow reads as ns — left as ns it
+    # trips the session-wide nanosAsLong conf the events reader sets)
+    for i, f in enumerate(t.schema):
+        if pa.types.is_timestamp(f.type):
+            unit = "ns" if name == "events.parquet" and f.name == "ts" else "ms"
+            t = t.set_column(i, f.name, t.column(f.name).cast(pa.timestamp(unit)))
     shutil.rmtree(table_dir)
     pq.write_table(t, table_dir)  # now a single FILE at the same path
     print(f"{name}: {t.num_rows} rows")

@@ -82,7 +82,11 @@ object Bench {
     else {
       val Row = """\|\s*([a-z]\w+)\s*\|\s*([0-9.]+)\s*\|""".r
       new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        .linesIterator.collect { case Row(q, s) => q -> s.toDouble }.toMap
+        .linesIterator
+        // the gate baseline is the sf0.1 protocol section only; the
+        // sf1 reference tables below this heading must not override it
+        .takeWhile(!_.startsWith("## sf1"))
+        .collect { case Row(q, s) => q -> s.toDouble }.toMap
     }
   }
 
