@@ -67,12 +67,15 @@ object Multimodal {
   }
 
   /** Shared stub "decode": L1-normalized 8-bin byte-range histogram
-    * (stands in for decoded-image features; deterministic). */
+    * (stands in for decoded-image features; deterministic). Each bin is
+    * ONE IEEE division of exact integers (bin count / payload length) —
+    * correctly rounded identically by any engine, so m2 faces the full
+    * DuckDB hash oracle like m1/m3 (no intermediate rounding to drift). */
   private[graft] def hist8(payload: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](8)
     payload.foreach { b => hist((b & 0xff) >> 5) += 1.0 }
     val n = math.max(payload.length, 1)
-    hist.map(h => math.rint(h / n * 1e6) / 1e6)
+    hist.map(_ / n)
   }
 
   private[graft] val HistBins = 64
@@ -91,7 +94,14 @@ object Multimodal {
     * constant across same-alphabet payloads, e.g. ASCII text), the
     * windowed-content histogram varies with payload CONTENT, while a
     * small perturbation moves only the few windows that overlap it —
-    * exactly the locality a perceptual feature needs. */
+    * exactly the locality a perceptual feature needs.
+    *
+    * Every bin is ONE IEEE division of exact integers (window count /
+    * total windows) — no intermediate rounding — so the histogram, the
+    * dHash sign pattern over it, and the L1 distances downstream are
+    * all bit-identical in any engine that replays the definition
+    * (DuckDB does, for the m4/m5 oracles: FNV's wraparound multiply is
+    * HUGEINT arithmetic mod 2⁶⁴ there). */
   private[graft] def contentHist(payload: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](HistBins)
     var n = 0
@@ -109,7 +119,7 @@ object Multimodal {
     }
     val d = math.max(n, 1)
     var k = 0
-    while (k < HistBins) { hist(k) = math.rint(hist(k) / d * 1e6) / 1e6; k += 1 }
+    while (k < HistBins) { hist(k) = hist(k) / d; k += 1 }
     hist
   }
 
@@ -145,7 +155,10 @@ object Multimodal {
     * payloads — 97.8% of all pairs emitted; the 64-bit banded form +
     * content-seeded features is the fix the r3 verdict prescribed.)
     * With real images swap [[contentHist]] for decoded-gradient
-    * features; plan shape unchanged. [rows-only]: spec asserts
+    * features; plan shape unchanged. [sql-oracle]: every stage is
+    * engine-portable ([[contentHist]], [[percepCte]]), so DuckDB
+    * replays the whole pipeline — FNV windows to banded candidates to
+    * L1 verify — bit-for-bit; the spec additionally asserts
     * driver-recompute equality, that byte-identical payloads always
     * pair at l1 = 0, and that candidate volume stays ≪ n²/2. */
   def m4PercepDedup(s: SparkSession, dir: String,
@@ -213,8 +226,9 @@ object Multimodal {
       .withColumn("l1", l1)
       .filter(col("l1") <= maxL1)
       // a pair sharing several bands collides once per band — same l1
-      // every time; min() is just the dedup
-      .groupBy("a", "b").agg(round(min(col("l1")), 6).as("l1"))
+      // every time; min() is just the dedup (no rounding: the raw
+      // fold-order sum is already engine-portable, see contentHist)
+      .groupBy("a", "b").agg(min(col("l1")).as("l1"))
       .orderBy("a", "b")
       .finishIf()
     bands.unpersistIf()
@@ -233,9 +247,10 @@ object Multimodal {
     *
     * Scale: m4's candidate volume is df-capped (never all-pairs);
     * the CC rounds are O(log diameter) equi-joins on pair ids whose
-    * cost tracks the PAIR list, not the corpus. [rows-only]: spec
-    * pins cluster = transitive closure of m4's pairs recomputed
-    * driver-side, keeper = min id. */
+    * cost tracks the PAIR list, not the corpus. [sql-oracle]: d8's
+    * recursive-reachability CTE over m4's replayed pair list; the spec
+    * additionally pins cluster = transitive closure of m4's pairs
+    * recomputed driver-side, keeper = min id. */
   def m5PercepClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.connectedComponents(
         m4PercepDedup(s, dir).select(col("a"), col("b")))
@@ -270,8 +285,23 @@ object Multimodal {
     * (not one array column): downstream tabular consumers — including
     * the driver's pandas-side rows check, which can't sort/hash ndarray
     * cells — expect flat columns, and a fixed-dim feature is exactly a
-    * fixed set of columns. */
-  def m2FeatureStub(s: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    * fixed set of columns.
+    *
+    * [sql-oracle]: the features are engine-portable (exact bin counts,
+    * one IEEE division each — [[hist8]]), so DuckDB replays the decode
+    * from `hex(encode(text))` byte slices. The per-batch size is NOT in
+    * the output — batch membership depends on partition layout, which
+    * no other engine can replay; the batching bound is spec-pinned on
+    * [[m2Batched]] instead. */
+  def m2FeatureStub(s: SparkSession, dir: String, batchSize: Int = 64): DataFrame =
+    m2Batched(s, dir, batchSize).drop("batch_n").orderBy("doc_id")
+
+  /** m2 core with the per-batch size exposed: the spec asserts every
+    * batch holds 1..batchSize items on THIS frame; the public op
+    * projects `batch_n` away (partition-layout-dependent, so it can't
+    * face a cross-engine oracle — the features can). */
+  private[graft] def m2Batched(s: SparkSession, dir: String,
+      batchSize: Int): DataFrame = {
     import s.implicits._
     val dims = 8
     Tables.spread(s, Tables.documents(s, dir))
@@ -289,7 +319,6 @@ object Multimodal {
       .toDF("doc_id", "batch_n", "features")
       .select(col("doc_id") +: col("batch_n") +:
         (0 until dims).map(i => col("features")(i).as(s"f$i")): _*)
-      .orderBy("doc_id")
   }
 
   /** m3_frame_sample — the video-pipeline "sample n frames evenly, then
@@ -352,7 +381,97 @@ object Multimodal {
     * 2-hex-char slices are the bytes, `list_sum`/`list_max` the exact
     * integer stats, and the fingerprint is md5 over the hex string
     * itself (same uppercase alphabet both engines). */
+  /** Shared DuckDB CTE chain replaying [[percepPairs]] on the documents
+    * table, ending in `cand(a, b, l1)` (pre-threshold candidates):
+    * UTF-8 bytes from `hex(encode(text))`; FNV-1a's wraparound multiply
+    * as HUGEINT arithmetic mod 2⁶⁴ (verified bit-equal to JVM long
+    * overflow); the 64-bin histogram as exact-count / window-count
+    * divisions; the dHash emitted directly as the 4 × 16-bit band
+    * chunks (bit k of chunk j = global bit 16j+k, so no 64-bit shifts
+    * are ever needed); the MaxBucket df-cap; and the L1 fold in the
+    * same left-to-right order as Spark's `aggregate(zip_with(...))`. */
+  private lazy val percepCte: String =
+    s"""b AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |        octet_length(encode(text)) AS n FROM documents),
+       |by AS (SELECT doc_id, n,
+       |        list_transform(range(n),
+       |          i -> ('0x' || substr(hx, CAST(2*i+1 AS INT), 2))::INT)
+       |          AS bytes
+       |       FROM b),
+       |w AS (SELECT doc_id,
+       |        CASE WHEN n >= 4 THEN
+       |          list_transform(range(n - 3), i ->
+       |            CAST((list_reduce(
+       |              list_prepend(1469598103934665603::HUGEINT,
+       |                [bytes[CAST(i+1 AS INT)], bytes[CAST(i+2 AS INT)],
+       |                 bytes[CAST(i+3 AS INT)], bytes[CAST(i+4 AS INT)]]
+       |                  ::HUGEINT[]),
+       |              (h, x) -> ((h - h % 256
+       |                          + xor(CAST(h % 256 AS INT),
+       |                                CAST(x AS INT))::HUGEINT)
+       |                         * 1099511628211::HUGEINT)
+       |                        % 18446744073709551616::HUGEINT)
+       |             // 65536) % ${HistBins} AS INT))
+       |        ELSE list_transform(bytes, x -> x % ${HistBins}) END AS bins,
+       |        greatest(CASE WHEN n >= 4 THEN n - 3 ELSE n END, 1) AS nw
+       |      FROM by),
+       |hist AS (SELECT doc_id,
+       |        list_transform(range(${HistBins}), k ->
+       |          CAST(len(list_filter(bins, x -> x = CAST(k AS INT)))
+       |            AS DOUBLE) / nw) AS h
+       |      FROM w),
+       |bands AS (SELECT doc_id, h, CAST(band AS INT) AS band,
+       |        list_sum(list_transform(range(${BandBits}), k ->
+       |          CASE WHEN h[CAST(${BandBits}*band + k + 1 AS INT)] >
+       |                    h[CAST((${BandBits}*band + k + 1) % ${HistBins}
+       |                           + 1 AS INT)]
+       |               THEN CAST(1 AS BIGINT) << CAST(k AS INT)
+       |               ELSE 0 END)) AS chunk
+       |      FROM hist, unnest(range(${PercepBands})) AS t(band)),
+       |capped AS (SELECT bands.* FROM bands
+       |      JOIN (SELECT band, chunk FROM bands GROUP BY band, chunk
+       |            HAVING COUNT(*) <= ${MaxBucket}) c USING (band, chunk)),
+       |cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
+       |        list_reduce(list_prepend(0.0, list_transform(range(${HistBins}),
+       |          i -> abs(x.h[CAST(i+1 AS INT)] - y.h[CAST(i+1 AS INT)]))),
+       |          (p, q) -> p + q) AS l1
+       |      FROM capped x JOIN capped y
+       |        ON x.band = y.band AND x.chunk = y.chunk
+       |          AND x.doc_id < y.doc_id)""".stripMargin
+
   private[graft] val oracle: Map[String, String] = Map(
+    "m4_percep_dedup" ->
+      s"""WITH $percepCte
+         |SELECT a, b, min(l1) AS l1 FROM cand WHERE l1 <= 0.05
+         |GROUP BY a, b ORDER BY a, b""".stripMargin,
+    // m5 = m4's pair list through the same recursive-reachability CC
+    // shape as d8's oracle; cluster = min reachable id.
+    "m5_percep_clusters" ->
+      s"""WITH RECURSIVE $percepCte,
+         |mpairs AS (SELECT a, b FROM cand WHERE l1 <= 0.05 GROUP BY a, b),
+         |edges AS (SELECT a AS u, b AS v FROM mpairs
+         |          UNION SELECT b, a FROM mpairs),
+         |reach(u, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+         |  UNION
+         |  SELECT e2.u, reach.r FROM edges e2 JOIN reach ON reach.u = e2.v),
+         |cl AS (SELECT u AS doc_id, MIN(r) AS cluster FROM reach GROUP BY u)
+         |SELECT doc_id, cluster FROM cl ORDER BY doc_id""".stripMargin,
+    "m2_feature_stub" -> {
+      val feats = (0 until 8).map(k =>
+        s"""  CAST(len(list_filter(bins, x -> x = $k)) AS DOUBLE)
+           |    / greatest(n, 1) AS f$k""".stripMargin).mkString(",\n")
+      s"""WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |             octet_length(encode(text)) AS n FROM documents),
+         |u AS (SELECT doc_id, n,
+         |        list_transform(range(n),
+         |          i -> ('0x' || substr(hx, CAST(2*i+1 AS INT), 2))::INT // 32)
+         |          AS bins
+         |      FROM b)
+         |SELECT doc_id,
+         |$feats
+         |FROM u ORDER BY doc_id""".stripMargin
+    },
     "m1_binary_meta" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
         |             octet_length(encode(text)) AS n FROM documents),
