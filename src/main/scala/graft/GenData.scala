@@ -141,13 +141,14 @@ object GenData {
     // ---- events: Exp(50) values, 30 uniform days of 2024-01, 10x users
     val nEvents = n(1000000)
     val nUsers = n(15000)
-    // ts is written as an INT64 nanos epoch; scripts/nanots.py rewrites
-    // the file's logical type to TIMESTAMP(NANOS) so the table round-
-    // trips through the exact same reader path (nanosAsLong) and DuckDB
-    // oracle behavior as the driver-generated SFs
+    // ts is written as TIMESTAMP_NTZ (parquet TIMESTAMP(MICROS,
+    // isAdjustedToUTC=false)) — the round-5 driver layout; the reader
+    // (Tables.events) relabels it to session-UTC TimestampType and the
+    // DuckDB oracle reads it natively, same as the driver SFs
     write(s.range(nEvents).select($"id".as("event_id"),
-      ((lit(1704067200000000L) +
-        (u($"id", "et") * 30.0 * 86400 * 1e6).cast("long")) * 1000L).as("ts"),
+      timestamp_micros(lit(1704067200000000L) +
+        (u($"id", "et") * 30.0 * 86400 * 1e6).cast("long"))
+        .cast("timestamp_ntz").as("ts"),
       floor(u($"id", "eu") * nUsers).as("user_id"),
       element_at(lit(EventTypes), (floor(u($"id", "ek") * 5) + 1).cast("int"))
         .as("event_type"),

@@ -19,16 +19,26 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame       = table(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame     = table(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame   = table(s, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default. Read it as a nanos long (legacy conf) and rebuild a proper
-    * TimestampType column with exact integer arithmetic (`div`, never
-    * double division — ns epochs exceed double's exact-integer range, and
-    * a 256 ns rounding slip could land a row in the wrong second vs the
-    * DuckDB oracle, which reads nanos natively). */
+  /** `events.ts` has shipped in two driver layouts: TIMESTAMP(NANOS)
+    * (rounds 1-4), which Spark 4 refuses by default — read as a nanos
+    * long (legacy conf) and rebuilt with exact integer arithmetic
+    * (`div`, never double division: ns epochs exceed double's
+    * exact-integer range, and a 256 ns slip could land a row in the
+    * wrong second vs the DuckDB oracle) — and TIMESTAMP(MICROS, NTZ)
+    * (round 5+), which Spark reads as TIMESTAMP_NTZ. Normalize both to
+    * session-TZ TimestampType (sessions pin UTC, so the NTZ cast is a
+    * relabel, not a shift) so every downstream operator and oracle sees
+    * identical instants regardless of which layout is on disk. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = table(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame  = table(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = table(s, dir, "embeddings")
