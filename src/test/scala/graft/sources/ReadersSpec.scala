@@ -35,6 +35,32 @@ class ReadersSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("events reader yields identical instants for both driver ts layouts") {
+    // the driver has shipped events.ts two ways: INT64 nanos (rounds 1-4,
+    // surfaces as LongType under nanosAsLong) and TIMESTAMP(MICROS, NTZ)
+    // (round 5+). Tables.events must normalize both to the same UTC
+    // instants or every time-series oracle silently shifts.
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_tslayout").toString
+    val base = graft.Tables.events(spark, sf).limit(200)
+      .select(col("event_id"), col("ts"))
+    val micros = base.select(col("event_id"), unix_micros(col("ts")).as("us"))
+    micros.select(col("event_id"), (col("us") * 1000L).as("ts"))
+      .write.parquet(s"$tmp/legacy/events.parquet")
+    micros.select(col("event_id"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+      .write.parquet(s"$tmp/modern/events.parquet")
+    val legacy = graft.Tables.events(spark, s"$tmp/legacy")
+    val modern = graft.Tables.events(spark, s"$tmp/modern")
+    assert(legacy.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(legacy.schema("ts").dataType == modern.schema("ts").dataType)
+    val l = legacy.orderBy("event_id").select("ts").as[java.sql.Timestamp].collect().toSeq
+    val m = modern.orderBy("event_id").select("ts").as[java.sql.Timestamp].collect().toSeq
+    assert(l == m)
+    assert(l.nonEmpty)
+  }
+
   test("partitioned sink enables partition pruning on read") {
     val tmp = Files.createTempDirectory("graft_sink").toString
     Sinks.parquetPartitioned(
