@@ -458,31 +458,31 @@ object Analytics {
   val oracle: Map[String, String] = Map(
     "q15_bloom_semi" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer
         |                    WHERE c_acctbal > 9000)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q14_pivot" ->
       """SELECT n_name,
-        | CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
-        |   THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS "1-URGENT",
-        | CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
-        |   THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS "2-HIGH",
-        | CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
-        |   THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS "3-MEDIUM",
-        | CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
-        |   THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS "4-NOT SPECIFIED",
-        | CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
-        |   THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DOUBLE) AS "5-LOW"
+        | CAST(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS "1-URGENT",
+        | CAST(CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS "2-HIGH",
+        | CAST(CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS "3-MEDIUM",
+        | CAST(CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS "4-NOT SPECIFIED",
+        | CAST(CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+        |   THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS "5-LOW"
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q13_window_suite" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
         | CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
-        | ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-        | ROUND(CUME_DIST() OVER w, 6) AS cume
+        | COALESCE(CAST(TRY_CAST(CAST(PERCENT_RANK() OVER w AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), PERCENT_RANK() OVER w) AS pct_rank,
+        | COALESCE(CAST(TRY_CAST(CAST(CUME_DIST() OVER w AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), CUME_DIST() OVER w) AS cume
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_returnflag
         |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
@@ -490,18 +490,18 @@ object Analytics {
     "q12_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         | GROUPING(l_returnflag, l_linestatus) AS gid,
-        | COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        | COUNT(*) AS n, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY gid, rf, ls""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
         | COUNT(*) AS count_order,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_filter_project" ->
@@ -516,21 +516,21 @@ object Analytics {
         "inc", 10L)
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS count_order,
          | CAST(SUM(CASE WHEN $bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
-         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
-         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price
+         | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+         | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_price,
+         | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin
     },
     "q16_colocated_join" ->
       """SELECT o_orderpriority,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q3_join_agg" ->
       """SELECT n_name,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -548,15 +548,15 @@ object Analytics {
         |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
     "q5_distinct_agg" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_ord,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q6_conditional_agg" ->
       """SELECT l_linestatus,
         | CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
         | CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         | CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
-        | CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS price_r,
-        | CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS price_n
+        | CAST(CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS price_r,
+        | CAST(CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS price_n
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q7_semi_anti" ->
       """SELECT c_custkey, c_mktsegment, 'has_f_order' AS tag FROM customer
@@ -569,18 +569,18 @@ object Analytics {
         |ORDER BY c_custkey, tag""".stripMargin,
     "q8_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
-        | COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        | COUNT(*) AS n, CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
     "q9_percentile" ->
       """SELECT l_returnflag,
-        | ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS med_qty,
-        | ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 6) AS p90_price,
-        | ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 6) AS p99_price
+        | COALESCE(CAST(TRY_CAST(CAST(QUANTILE_CONT(l_quantity, 0.5) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), QUANTILE_CONT(l_quantity, 0.5)) AS med_qty,
+        | COALESCE(CAST(TRY_CAST(CAST(QUANTILE_CONT(l_extendedprice, 0.9) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), QUANTILE_CONT(l_extendedprice, 0.9)) AS p90_price,
+        | COALESCE(CAST(TRY_CAST(CAST(QUANTILE_CONT(l_extendedprice, 0.99) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), QUANTILE_CONT(l_extendedprice, 0.99)) AS p99_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q10_having_sub" ->
       """SELECT o_custkey, COUNT(*) AS n_ord,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey
         |HAVING COUNT(*) >= (SELECT AVG(n) FROM
         |  (SELECT COUNT(*) AS n FROM orders GROUP BY o_custkey) t)

@@ -834,8 +834,8 @@ object AnomalyML {
     "a4_cusum_drift" ->
       """WITH RECURSIVE
         |st AS (SELECT event_type AS key, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-        |  CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s1,
+        |  CAST(CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s2
         | FROM events GROUP BY event_type),
         |sx AS (SELECT key, s1 / n AS mean, sqrt((s2 - s1 * s1 / n) / n) AS sd
         |       FROM st),
@@ -874,11 +874,11 @@ object AnomalyML {
         | FROM events
         | WHERE regexp_extract(props, '[0-9]+', 0) <> ''),
         |st AS (SELECT event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-        |  CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-        |  CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
-        |  CAST(SUM(CAST(y * y AS DECIMAL(28,10))) AS DOUBLE) AS syy,
-        |  CAST(SUM(CAST(x * y AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+        |  CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(x * x AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(y * y AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS syy,
+        |  CAST(CAST(SUM(CAST(x * y AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxy
         | FROM g GROUP BY event_type),
         |c AS (SELECT event_type, sx/n AS mx, sy/n AS my,
         |  (sxx - sx*sx/n)/(n-1) AS cxx,
@@ -888,7 +888,7 @@ object AnomalyML {
         |d AS (SELECT event_type, mx, my, cxx, cyy, cxy,
         |  cxx*cyy - cxy*cxy AS det FROM c)
         |SELECT g.event_id, g.event_type, g.x, g.y,
-        | ROUND(((g.x-mx)*(g.x-mx)*cyy - 2.0*(g.x-mx)*(g.y-my)*cxy + (g.y-my)*(g.y-my)*cxx) / det, 6) AS d2
+        | COALESCE(CAST(TRY_CAST(CAST(((g.x-mx)*(g.x-mx)*cyy - 2.0*(g.x-mx)*(g.y-my)*cxy + (g.y-my)*(g.y-my)*cxx) / det AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), ((g.x-mx)*(g.x-mx)*cyy - 2.0*(g.x-mx)*(g.y-my)*cxy + (g.y-my)*(g.y-my)*cxx) / det) AS d2
         |FROM g JOIN d USING(event_type)
         |WHERE ((g.x-mx)*(g.x-mx)*cyy - 2.0*(g.x-mx)*(g.y-my)*cxy + (g.y-my)*(g.y-my)*cxx) / det > 9
         |ORDER BY g.event_id""".stripMargin

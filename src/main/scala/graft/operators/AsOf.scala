@@ -88,7 +88,7 @@ object AsOf {
         |    ORDER BY secs, side DESC, tb ASC NULLS FIRST
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT event_id, user_id, secs, value,
-        |  ROUND(click_value, 6) AS click_value, click_id
+        |  COALESCE(CAST(TRY_CAST(CAST(click_value AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), click_value) AS click_value, click_id
         |FROM f WHERE side = 0 ORDER BY event_id""".stripMargin
   )
 }

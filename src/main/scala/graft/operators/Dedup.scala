@@ -804,7 +804,7 @@ object Dedup {
         |h AS (SELECT doc_id, COUNT(*) AS n_dup FROM e JOIN dup USING (g)
         |      GROUP BY doc_id)
         |SELECT n.doc_id, n_blocks, COALESCE(n_dup, 0) AS n_dup,
-        |  ROUND(COALESCE(n_dup, 0) * 1.0 / n_blocks, 6) AS dup_ratio
+        |  COALESCE(CAST(TRY_CAST(CAST(COALESCE(n_dup, 0) * 1.0 / n_blocks AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), COALESCE(n_dup, 0) * 1.0 / n_blocks) AS dup_ratio
         |FROM n LEFT JOIN h USING (doc_id) ORDER BY n.doc_id""".stripMargin,
     "d8_dedup_clusters" ->
       s"""WITH RECURSIVE
@@ -849,7 +849,7 @@ object Dedup {
          |      GROUP BY doc_id)
          |SELECT s.doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
          |  COALESCE(h.n_hit, 0) AS n_hit,
-         |  ROUND(COALESCE(h.n_hit, 0) * 1.0 / len(sh), 6) AS hit_ratio
+         |  COALESCE(CAST(TRY_CAST(CAST(COALESCE(h.n_hit, 0) * 1.0 / len(sh) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), COALESCE(h.n_hit, 0) * 1.0 / len(sh)) AS hit_ratio
          |FROM s LEFT JOIN h USING (doc_id) WHERE is_test
          |ORDER BY s.doc_id""".stripMargin,
     "d17_dedup_report" ->
@@ -944,7 +944,7 @@ object Dedup {
          |na AS (SELECT a, COUNT(*) AS na FROM pi GROUP BY a),
          |pr AS (SELECT a, b, COUNT(*) AS common FROM pi JOIN ci USING (g)
          |       GROUP BY a, b)
-         |SELECT a, b, ROUND(common * 1.0 / (na + nb - common), 6) AS jac
+         |SELECT a, b, COALESCE(CAST(TRY_CAST(CAST(common * 1.0 / (na + nb - common) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), common * 1.0 / (na + nb - common)) AS jac
          |FROM pr JOIN na USING (a) JOIN nb USING (b)
          |WHERE common * 1.0 / (na + nb - common) >= 0.5
          |ORDER BY a, b""".stripMargin,
@@ -962,7 +962,7 @@ object Dedup {
          |         COUNT(*) AS common
          |       FROM p x JOIN p y ON x.g = y.g AND x.doc_id <> y.doc_id
          |       GROUP BY 1, 2, 3)
-         |SELECT a, b, common, na, ROUND(common * 1.0 / na, 6) AS cover
+         |SELECT a, b, common, na, COALESCE(CAST(TRY_CAST(CAST(common * 1.0 / na AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), common * 1.0 / na) AS cover
          |FROM pr WHERE common * 1.0 / na >= 0.8
          |ORDER BY a, b""".stripMargin,
     "d2_dedup_ngram" ->
@@ -979,7 +979,7 @@ object Dedup {
          |         COUNT(*) AS common
          |       FROM p x JOIN p y ON x.g = y.g AND x.doc_id < y.doc_id
          |       GROUP BY 1, 2, 3, 4)
-         |SELECT a, b, ROUND(common * 1.0 / (na + nb - common), 6) AS jac
+         |SELECT a, b, COALESCE(CAST(TRY_CAST(CAST(common * 1.0 / (na + nb - common) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), common * 1.0 / (na + nb - common)) AS jac
          |FROM pr WHERE common * 1.0 / (na + nb - common) >= 0.5
          |ORDER BY a, b""".stripMargin,
     "d5_embed_neardup" ->
@@ -987,7 +987,7 @@ object Dedup {
          |dots AS (SELECT ea.vec_id AS a, eb.vec_id AS b, SUM(ea.x * eb.x) AS dot
          |         FROM ex ea JOIN ex eb ON ea.i = eb.i AND ea.vec_id < eb.vec_id
          |         GROUP BY ea.vec_id, eb.vec_id)
-         |SELECT a, b, ROUND(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cos
+         |SELECT a, b, COALESCE(CAST(TRY_CAST(CAST(dot / (sqrt(na.n2) * sqrt(nb.n2)) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), dot / (sqrt(na.n2) * sqrt(nb.n2))) AS cos
          |FROM dots JOIN nrm na ON dots.a = na.vec_id
          |          JOIN nrm nb ON dots.b = nb.vec_id
          |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.45

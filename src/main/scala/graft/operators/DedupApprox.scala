@@ -205,7 +205,7 @@ object DedupApprox {
          |         GROUP BY a, b, perm // 5 HAVING COUNT(*) = 5),
          |est AS (SELECT m.a, m.b, COUNT(*) / 100.0 AS ej
          |        FROM m JOIN cand USING (a, b) GROUP BY m.a, m.b)
-         |SELECT a, b, ROUND(ej, 6) AS est_jac FROM est
+         |SELECT a, b, COALESCE(CAST(TRY_CAST(CAST(ej AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), ej) AS est_jac FROM est
          |WHERE ej >= 0.5 ORDER BY a, b""".stripMargin
     },
     "d4_simhash" ->

@@ -338,8 +338,8 @@ object EventOps {
 
   private val zStatsCte =
     """st AS (SELECT event_type, COUNT(*) AS n,
-      | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-      | CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s1,
+      | CAST(CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s2
       |FROM events GROUP BY event_type)""".stripMargin
 
   /** e13_gap_fill — forward-fill repair of a sparsely-null series: the
@@ -603,7 +603,7 @@ object EventOps {
     "e19_autocorr" ->
       """WITH bm AS (SELECT epoch(date_trunc('minute', ts)) AS m, event_type,
         |  COUNT(*) AS nm,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sm
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sm
         |  FROM events GROUP BY 1, 2),
         |v AS (SELECT m, event_type, sm / nm AS v FROM bm),
         |l(lag) AS (VALUES (1), (5), (15)),
@@ -611,15 +611,16 @@ object EventOps {
         |      FROM v a CROSS JOIN l JOIN v b
         |        ON b.event_type = a.event_type AND b.m = a.m + l.lag * 60),
         |st AS (SELECT event_type, lag, COUNT(*) AS n,
-        |  CAST(SUM(CAST(va AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-        |  CAST(SUM(CAST(vb AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-        |  CAST(SUM(CAST(va * va AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
-        |  CAST(SUM(CAST(vb * vb AS DECIMAL(28,10))) AS DOUBLE) AS syy,
-        |  CAST(SUM(CAST(va * vb AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+        |  CAST(CAST(SUM(CAST(va AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(vb AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(va * va AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(vb * vb AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS syy,
+        |  CAST(CAST(SUM(CAST(va * vb AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxy
         |  FROM p GROUP BY 1, 2)
         |SELECT event_type, lag, n,
-        |  ROUND((sxy - sx * sy / n)
-        |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS r
+        |  COALESCE(CAST(TRY_CAST(CAST((sxy - sx * sy / n)
+        |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), (sxy - sx * sy / n)
+        |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))) AS r
         |FROM st
         |WHERE n > 1 AND (sxx - sx * sx / n) > 0 AND (syy - sy * sy / n) > 0
         |ORDER BY event_type, lag""".stripMargin,
@@ -646,7 +647,7 @@ object EventOps {
         |          ORDER BY abs(shift) DESC, event_id) AS rn
         |      FROM d)
         |SELECT event_id, event_type, value,
-        |       ROUND(shift, 6) AS shift, CAST(rn AS INTEGER) AS rn
+        |       COALESCE(CAST(TRY_CAST(CAST(shift AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), shift) AS shift, CAST(rn AS INTEGER) AS rn
         |FROM r WHERE rn <= 20 ORDER BY event_type, rn""".stripMargin,
     "e17_ensemble" ->
       s"""WITH $zStatsCte,
@@ -674,21 +675,21 @@ object EventOps {
     "e16_correlation" ->
       """WITH bym AS (SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS m,
         |  event_type, COUNT(*) AS nm,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sm
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sm
         | FROM events GROUP BY m, event_type),
         |v AS (SELECT m, event_type, sm / nm AS v FROM bym),
         |pr AS (SELECT a.m, a.event_type AS ta, b.event_type AS tb,
         |         a.v AS va, b.v AS vb
         |       FROM v a JOIN v b ON a.m = b.m AND a.event_type < b.event_type),
         |st AS (SELECT ta, tb, COUNT(*) AS n,
-        |  CAST(SUM(CAST(va AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-        |  CAST(SUM(CAST(vb AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-        |  CAST(SUM(CAST(va * va AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
-        |  CAST(SUM(CAST(vb * vb AS DECIMAL(28,10))) AS DOUBLE) AS syy,
-        |  CAST(SUM(CAST(va * vb AS DECIMAL(28,10))) AS DOUBLE) AS sxy
+        |  CAST(CAST(SUM(CAST(va AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+        |  CAST(CAST(SUM(CAST(vb AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sy,
+        |  CAST(CAST(SUM(CAST(va * va AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |  CAST(CAST(SUM(CAST(vb * vb AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS syy,
+        |  CAST(CAST(SUM(CAST(va * vb AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxy
         | FROM pr GROUP BY ta, tb)
         |SELECT ta, tb, n,
-        | ROUND((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS r
+        | COALESCE(CAST(TRY_CAST(CAST((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), (sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n))) AS r
         |FROM st
         |WHERE n > 1 AND sxx - sx*sx/n > 0 AND syy - sy*sy/n > 0
         |ORDER BY ta, tb""".stripMargin,
@@ -711,7 +712,7 @@ object EventOps {
         |SELECT event_id, user_id, secs, v,
         | CASE WHEN v IS NOT NULL THEN v
         |      WHEN pv IS NOT NULL AND nv IS NOT NULL AND ns > ps
-        |        THEN ROUND(pv + (nv - pv) * (CAST(secs - ps AS DOUBLE) / CAST(ns - ps AS DOUBLE)), 6)
+        |        THEN COALESCE(CAST(TRY_CAST(CAST(pv + (nv - pv) * (CAST(secs - ps AS DOUBLE) / CAST(ns - ps AS DOUBLE)) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), pv + (nv - pv) * (CAST(secs - ps AS DOUBLE) / CAST(ns - ps AS DOUBLE)))
         |      WHEN pv IS NOT NULL THEN pv
         |      ELSE nv END AS filled,
         | v IS NULL AS was_gap
@@ -734,12 +735,12 @@ object EventOps {
         |ORDER BY event_id""".stripMargin,
     "e2_tumbling" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, event_type,
-        | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        | COUNT(*) AS n, CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
     "e3_rolling" ->
       """SELECT event_id, user_id, value,
-        | ROUND(AVG(value) OVER w, 6) AS roll_avg,
-        | ROUND(CASE WHEN COUNT(*) OVER w > 1 THEN STDDEV_SAMP(value) OVER w ELSE 0.0 END, 6) AS roll_sd,
+        | COALESCE(CAST(TRY_CAST(CAST(AVG(value) OVER w AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), AVG(value) OVER w) AS roll_avg,
+        | COALESCE(CAST(TRY_CAST(CAST(CASE WHEN COUNT(*) OVER w > 1 THEN STDDEV_SAMP(value) OVER w ELSE 0.0 END AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), CASE WHEN COUNT(*) OVER w > 1 THEN STDDEV_SAMP(value) OVER w ELSE 0.0 END) AS roll_sd,
         | COUNT(*) OVER w AS roll_n
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -755,12 +756,12 @@ object EventOps {
         |                                 ROWS UNBOUNDED PRECEDING) AS sid FROM f)
         |SELECT user_id, CAST(sid AS BIGINT) AS sid, COUNT(*) AS n_events,
         | MIN(secs) AS start_s, MAX(secs) AS end_s,
-        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
     "e5_zscore" ->
       s"""WITH $zStatsCte
          |SELECT e.event_id, e.event_type, e.value,
-         | ROUND((e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1)), 6) AS z
+         | COALESCE(CAST(TRY_CAST(CAST((e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1)) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), (e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))) AS z
          |FROM events e JOIN st USING(event_type)
          |WHERE ABS((e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))) > 3
          |ORDER BY event_id""".stripMargin,
@@ -771,7 +772,7 @@ object EventOps {
         |        ABS(e.value - med) AS ad FROM events e JOIN med USING(event_type)),
         |md AS (SELECT event_type, QUANTILE_CONT(ad, 0.5) AS mad FROM d GROUP BY event_type)
         |SELECT d.event_id, d.event_type, d.value,
-        | ROUND((d.value - d.med) / (1.4826 * mad), 6) AS rz
+        | COALESCE(CAST(TRY_CAST(CAST((d.value - d.med) / (1.4826 * mad) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), (d.value - d.med) / (1.4826 * mad)) AS rz
         |FROM d JOIN md USING(event_type)
         |WHERE ABS((d.value - d.med) / (1.4826 * mad)) > 3.5
         |ORDER BY event_id""".stripMargin,
@@ -781,18 +782,18 @@ object EventOps {
         |  FROM events GROUP BY event_type),
         |f AS (SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM st)
         |SELECT e.event_id, e.event_type, e.value,
-        | ROUND(lo, 6) AS lo, ROUND(hi, 6) AS hi
+        | COALESCE(CAST(TRY_CAST(CAST(lo AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), lo) AS lo, COALESCE(CAST(TRY_CAST(CAST(hi AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), hi) AS hi
         |FROM events e JOIN f USING(event_type)
         |WHERE e.value < lo OR e.value > hi
         |ORDER BY event_id""".stripMargin,
     "e8_seasonal" ->
       """WITH st AS (SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hr,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-        |  CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s1,
+        |  CAST(CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s2
         | FROM events GROUP BY event_type, hr)
         |SELECT e.event_id, e.event_type, CAST(EXTRACT(HOUR FROM e.ts) AS INTEGER) AS hr, e.value,
-        | ROUND((e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1)), 6) AS rz
+        | COALESCE(CAST(TRY_CAST(CAST((e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1)) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), (e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))) AS rz
         |FROM events e JOIN st ON e.event_type = st.event_type
         |  AND CAST(EXTRACT(HOUR FROM e.ts) AS INTEGER) = st.hr
         |WHERE ABS((e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1))) > 3
@@ -800,18 +801,18 @@ object EventOps {
     "e22_seasonal_strength" ->
       """WITH prof AS (SELECT event_type,
         |    CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hr, COUNT(*) AS nh,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1h
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s1h
         |  FROM events GROUP BY 1, 2),
         |j AS (SELECT e.event_type, e.value, (e.value - s1h / nh) AS resid
         |  FROM events e JOIN prof ON e.event_type = prof.event_type
         |    AND CAST(EXTRACT(HOUR FROM e.ts) AS INTEGER) = prof.hr),
         |agg AS (SELECT event_type, COUNT(*) AS n,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-        |    CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2,
-        |    CAST(SUM(CAST(resid * resid AS DECIMAL(28,10))) AS DOUBLE) AS sr2
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s2,
+        |    CAST(CAST(SUM(CAST(resid * resid AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sr2
         |  FROM j GROUP BY event_type)
         |SELECT event_type, n,
-        |  ROUND(1.0 - sr2 / (s2 - s1 * s1 / n), 6) AS strength
+        |  COALESCE(CAST(TRY_CAST(CAST(1.0 - sr2 / (s2 - s1 * s1 / n) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), 1.0 - sr2 / (s2 - s1 * s1 / n)) AS strength
         |FROM agg WHERE s2 - s1 * s1 / n > 0
         |ORDER BY event_type""".stripMargin,
     "e23_detector_scorecard" ->
@@ -855,11 +856,11 @@ object EventOps {
         |    COUNT(*) AS n
         |  FROM events GROUP BY 1, 2),
         |st AS (SELECT event_type, COUNT(*) AS cnt,
-        |    CAST(SUM(CAST(n AS DECIMAL(18,6))) AS DOUBLE) AS s1,
-        |    CAST(SUM(CAST(n * n AS DECIMAL(28,10))) AS DOUBLE) AS s2
+        |    CAST(CAST(SUM(CAST(n AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s1,
+        |    CAST(CAST(SUM(CAST(n * n AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s2
         |  FROM mc GROUP BY event_type)
         |SELECT mc.event_type, m, n,
-        |  ROUND((n - s1/cnt) / sqrt((s2 - s1*s1/cnt)/(cnt-1)), 6) AS z
+        |  COALESCE(CAST(TRY_CAST(CAST((n - s1/cnt) / sqrt((s2 - s1*s1/cnt)/(cnt-1)) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), (n - s1/cnt) / sqrt((s2 - s1*s1/cnt)/(cnt-1))) AS z
         |FROM mc JOIN st USING (event_type)
         |WHERE sqrt((s2 - s1*s1/cnt)/(cnt-1)) > 0
         |  AND (n - s1/cnt) / sqrt((s2 - s1*s1/cnt)/(cnt-1)) > 3
@@ -875,7 +876,7 @@ object EventOps {
          |  CAST(epoch(date_trunc('second', e.ts)) AS BIGINT) AS secs,
          |  (e.value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1)) AS z
          | FROM events e JOIN st USING(event_type))
-         |SELECT event_id, event_type, value, secs, ROUND(z, 6) AS z, CAST(rn AS INTEGER) AS rn
+         |SELECT event_id, event_type, value, secs, COALESCE(CAST(TRY_CAST(CAST(z AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), z) AS z, CAST(rn AS INTEGER) AS rn
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
          |                                   ORDER BY secs DESC, event_id DESC) AS rn
          |      FROM z WHERE ABS(z) > 2) t

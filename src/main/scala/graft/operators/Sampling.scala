@@ -379,9 +379,9 @@ object Sampling {
          |      * (n_chars - len(string_split(text, ' ')) + 1) * 1.0
          |      / (len(string_split(text, ' ')) * len(string_split(text, ' '))) AS quality
          |  FROM documents),
-         |t AS (SELECT ROUND(quantile_cont(quality, 0.25), 6) AS t1,
-         |             ROUND(quantile_cont(quality, 0.5), 6) AS t2,
-         |             ROUND(quantile_cont(quality, 0.75), 6) AS t3 FROM q),
+         |t AS (SELECT COALESCE(CAST(TRY_CAST(CAST(quantile_cont(quality, 0.25) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), quantile_cont(quality, 0.25)) AS t1,
+         |             COALESCE(CAST(TRY_CAST(CAST(quantile_cont(quality, 0.5) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), quantile_cont(quality, 0.5)) AS t2,
+         |             COALESCE(CAST(TRY_CAST(CAST(quantile_cont(quality, 0.75) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), quantile_cont(quality, 0.75)) AS t3 FROM q),
          |b AS (SELECT doc_id,
          |        CAST(quality > t1 AS INT) + CAST(quality > t2 AS INT)
          |          + CAST(quality > t3 AS INT) AS band,

@@ -443,7 +443,7 @@ object Similarity {
         |scored AS (SELECT qid, cid, dot / (nq.n * nc.n) AS cos
         |           FROM dots JOIN nrm nq ON dots.qid = nq.vec_id
         |                     JOIN nrm nc ON dots.cid = nc.vec_id)
-        |SELECT qid, cid, ROUND(cos, 6) AS cos, CAST(rn AS INTEGER) AS rn
+        |SELECT qid, cid, COALESCE(CAST(TRY_CAST(CAST(cos AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), cos) AS cos, CAST(rn AS INTEGER) AS rn
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         |                                   ORDER BY cos DESC, cid) AS rn
         |      FROM scored) t
@@ -463,7 +463,7 @@ object Similarity {
         |           FROM dots JOIN nrm nq ON dots.qid = nq.vec_id
         |                     JOIN nrm nc ON dots.cid = nc.vec_id
         |                     JOIN lab ql ON ql.vec_id = dots.qid)
-        |SELECT qid, lbl, cid, ROUND(cos, 6) AS cos, CAST(rn AS INTEGER) AS rn
+        |SELECT qid, lbl, cid, COALESCE(CAST(TRY_CAST(CAST(cos AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), cos) AS cos, CAST(rn AS INTEGER) AS rn
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         |                                   ORDER BY cos DESC, cid) AS rn
         |      FROM scored) t
@@ -476,7 +476,7 @@ object Similarity {
         |         FROM ex q JOIN ex c ON q.i = c.i
         |         WHERE q.vec_id < 5 AND c.vec_id >= 5
         |         GROUP BY q.vec_id, c.vec_id),
-        |scored AS (SELECT qid, cid, ROUND(dot / (nq.n * nc.n), 6) AS cos
+        |scored AS (SELECT qid, cid, COALESCE(CAST(TRY_CAST(CAST(dot / (nq.n * nc.n) AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), dot / (nq.n * nc.n)) AS cos
         |           FROM dots JOIN nrm nq ON dots.qid = nq.vec_id
         |                     JOIN nrm nc ON dots.cid = nc.vec_id)
         |SELECT qid, cid, cos FROM scored
@@ -498,7 +498,7 @@ object Similarity {
         |                     JOIN nrm nc ON dots.cid = nc.vec_id
         |                     JOIN lab ql ON ql.vec_id = dots.qid
         |                     JOIN lab cl ON cl.vec_id = dots.cid)
-        |SELECT qid, qlbl, cid, clbl, ROUND(cos, 6) AS cos,
+        |SELECT qid, qlbl, cid, clbl, COALESCE(CAST(TRY_CAST(CAST(cos AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), cos) AS cos,
         |  CAST(rn AS INTEGER) AS rn
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         |                                   ORDER BY cos DESC, cid) AS rn
