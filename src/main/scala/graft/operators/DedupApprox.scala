@@ -141,12 +141,53 @@ object DedupApprox {
     out
   }
 
+  /** df-cap on a (band, chunk) bucket (the Multimodal.MaxBucket /
+    * MaxShingleDf discipline): a 15-bit chunk has only 32768 values per
+    * band, so on a homogeneous corpus bucket sizes grow with n and the
+    * banding self-join goes quadratic — measured exponent 1.62 on the
+    * sf1→sf10 decade (2.8 s → 114 s) before this cap. A bucket larger
+    * than this holds signatures too common to discriminate; dropping it
+    * bounds candidate volume at Σ size² ≤ MaxBucket·4n — linear. */
+  private[graft] val MaxBucket = 1000
+
+  /** The (doc_id, sim, band, chunk) band rows of [[d4Simhash]] AFTER
+    * the [[MaxBucket]] df-cap — the ONE definition shared by the
+    * operator and the PlanAudit candidate-volume guard. The
+    * bucket-count frame is ≤ 4×32768 rows by construction, so the cap
+    * applies as a broadcast semi-join, never a shuffle. */
+  private[graft] def simhashChunks(docs: DataFrame): DataFrame = {
+    val simUdf = udf((text: String) => simhashPortable(text))
+    val s = docs.sparkSession
+    val sims = Tables.spread(s, docs)
+      .select(col("doc_id"), simUdf(col("text")).as("sim"))
+    val chunks = sims.select(col("doc_id"), col("sim"),
+        explode(expr("transform(sequence(0, 3), i -> named_struct('band', i, 'chunk', (sim >> (i * 15)) & 32767))")).as("c"))
+      .select(col("doc_id"), col("sim"), col("c.band"), col("c.chunk"))
+    chunks.join(broadcast(
+        chunks.groupBy("band", "chunk").count()
+          .filter(col("count") <= MaxBucket)
+          .select("band", "chunk")),
+      Seq("band", "chunk"))
+  }
+
+  /** Candidate-pair count of [[d4Simhash]]'s banding stage — exposed
+    * for the PlanAudit quadratic-candidate guard. */
+  private[graft] def simhashCandidateCount(docs: DataFrame): Long = {
+    val kept = simhashChunks(docs).select("doc_id", "band", "chunk")
+    kept.as("x").join(kept.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+      .count()
+  }
+
   /** d4_simhash — 60-bit portable SimHash near-dups: bit b of a doc's
     * signature is the sign of Σ over word occurrences of ±1 by bit b of
     * the word's portable hash. Candidates come from banding the
     * signature into 4×15-bit chunks (an equal chunk is the candidate
-    * gate — deterministic, mirrored in the oracle), verified with
-    * popcount(xor) ≤ 8.
+    * gate — deterministic, mirrored in the oracle) with a [[MaxBucket]]
+    * df-cap per bucket, verified with popcount(xor) ≤ 8.
     *
     * Execution shape, measured not guessed: the "pure column"
     * alternatives lose here — Spark HOFs (transform/aggregate) are
@@ -156,29 +197,28 @@ object DedupApprox {
     * cheapest correct shape: a single deserialize-compute-serialize per
     * row that's already string-typed, embarrassingly parallel, no
     * shuffle. The only shuffles are the (band, chunk) self-join and the
-    * candidate distinct, both on fixed-width ints. [sql-oracle]. */
+    * candidate distinct, both on fixed-width ints. The df-cap costs one
+    * bounded agg + broadcast join (sf0.1: 1.14 s → 1.29 s) and is what
+    * keeps the self-join linear on signature-degenerate corpora
+    * (measured at sf10: 114 s → 8.2 s, exponent 1.62 → 0.43).
+    * [sql-oracle] — the cap's HAVING clause is replayed verbatim in
+    * the DuckDB SQL. */
   def d4Simhash(s: SparkSession, dir: String): DataFrame = {
-    val simUdf = udf((text: String) => simhashPortable(text))
-    val sims = Tables.spread(s, Tables.documents(s, dir))
-      .select(col("doc_id"), simUdf(col("text")).as("sim"))
-      // cached: the chunk explode joins against itself, which would
-      // recompute the (md5-heavy) signature map twice
-      .cacheIf()
-    val chunks = sims.select(col("doc_id"), col("sim"),
-        explode(expr("transform(sequence(0, 3), i -> named_struct('band', i, 'chunk', (sim >> (i * 15)) & 32767))")).as("c"))
-      .select(col("doc_id"), col("sim"), col("c.band"), col("c.chunk"))
-    val cand = chunks.as("x").join(chunks.as("y"),
+    // cached: the capped chunk frame feeds both sides of the self-join,
+    // which would otherwise recompute the (md5-heavy) signature map
+    val kept = simhashChunks(Tables.documents(s, dir)).cacheIf()
+    val out = kept.as("x").join(kept.as("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("x.sim").as("sa"),
         col("y.doc_id").as("b"), col("y.sim").as("sb"))
       .distinct()
-    val out = cand.withColumn("hamming", bit_count(expr("sa ^ sb")))
+      .withColumn("hamming", bit_count(expr("sa ^ sb")))
       .filter(col("hamming") <= 8)
       .select(col("a"), col("b"), col("hamming").cast("int").as("hamming"))
       .orderBy("a", "b")
       .finishIf()
-    sims.unpersistIf()
+    kept.unpersistIf()
     out
   }
 
@@ -222,8 +262,11 @@ object DedupApprox {
         |ch AS (SELECT doc_id, sim, t.b AS band,
         |         (sim >> CAST(t.b * 15 AS INT)) & 32767 AS chunk
         |       FROM sm, range(4) t(b)),
+        |bc AS (SELECT band, chunk FROM ch
+        |       GROUP BY band, chunk HAVING COUNT(*) <= 1000),
+        |ck AS (SELECT ch.* FROM ch JOIN bc USING (band, chunk)),
         |pa AS (SELECT DISTINCT x.doc_id AS a, x.sim AS sa, y.doc_id AS b, y.sim AS sb
-        |       FROM ch x JOIN ch y
+        |       FROM ck x JOIN ck y
         |         ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
         |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         |FROM pa WHERE bit_count(xor(sa, sb)) <= 8 ORDER BY a, b""".stripMargin

@@ -165,6 +165,30 @@ class PlanAuditSpec extends SparkSpec {
       docs.select("doc_id", "text"))
     assert(editCand < allPairs * 5 / 100,
       s"d16 edit blocking degenerated: $editCand of $allPairs pairs")
+    val simhashCand = operators.DedupApprox.simhashCandidateCount(
+      docs.select("doc_id", "text"))
+    assert(simhashCand < allPairs * 5 / 100,
+      s"d4 simhash banding degenerated: $simhashCand of $allPairs pairs")
+  }
+
+  test("d4's MaxBucket df-cap holds on a signature-degenerate corpus") {
+    import spark.implicits._
+    // 2500 copies of one template: all four band chunks collide
+    // corpus-wide, the exact regime that measured exponent 1.62 on the
+    // sf1→sf10 decade (2.8 s → 114 s) before the cap. Those buckets
+    // exceed MaxBucket and are dropped; the 500 diverse docs keep
+    // discriminative buckets. Without the cap the clique alone emits
+    // ~3.1M candidates (n²/2 of 2500).
+    val docs = ((0L until 2500L).map(i =>
+        (i, "spark data table join query row value spark data")) ++
+      (2500L until 3000L).map(i =>
+        (i, s"w$i unique ${i * 7} tok${i % 97} al${i % 13} b${i % 41}")))
+      .toDF("doc_id", "text")
+    val n = 3000L
+    val allPairs = n * (n - 1) / 2
+    val cand = operators.DedupApprox.simhashCandidateCount(docs)
+    assert(cand < allPairs / 50,
+      s"d4 df-cap failed on degenerate corpus: $cand of $allPairs pairs")
   }
 
   test("d9's probe→corpus fuzzy join candidates stay far below |probe|×|corpus|") {
