@@ -569,7 +569,8 @@ object EventOps {
       topK: Int = 20): DataFrame =
     windowDrift(Tables.events(s, dir)
       .select(col("event_id"), col("event_type"),
-        col("ts").cast("long").as("secs"), col("value")), w, topK)
+        col("ts").cast("long").as("secs"), col("value")), w, topK,
+      chunked = true)
 
   /** The full-window shift scan of [[windowDrift]] (every row with W
     * complete rows on each side, unranked) — the stage the st17
@@ -616,10 +617,152 @@ object EventOps {
       .drop("rn", "cum", "cum_prev", "cum_prev_w", "cum_fwd")
   }
 
+  /** Chunk-parallel twin of [[driftScan]], BIT-IDENTICAL output: the
+    * window form's parallelism is capped at |event_type| (5 in the
+    * driver data — five tasks sort 2M rows each at sf10 while 27 cores
+    * idle; on a 1000-executor cluster the cap is the whole plan). This
+    * variant makes parallelism keys × chunks:
+    *
+    * 1. Fine TIME buckets (monotone in `secs`, ties share a bucket, so
+    *    bucket order is consistent with the (secs, event_id) sort).
+    * 2. One bounded driver collect of the (key, bucket) COUNT grid
+    *    (≤ keys·F cells of three longs — the a4 boundary-table
+    *    discipline, an aggregate, never row data) → cumulative base
+    *    rank per bucket, broadcast.
+    * 3. row_number within (key, bucket) — parallelism keys·F — plus
+    *    the broadcast base gives every row its EXACT global rank rn.
+    * 4. chunk = rn div C; each row also copies to the neighbor chunk
+    *    whose ±w frame needs it (rank arithmetic alone decides — the
+    *    copied halo makes every chunk's array a CONTIGUOUS global rank
+    *    range, so frames never cross a task boundary).
+    * 5. One repartition on (key, chunk) + in-partition sort + a
+    *    group-contiguous mapPartitions scan (the a4 scanChunk shape):
+    *    per-value HALF_UP 6dp unscaled longs, window sums as integer
+    *    adds, one correctly-rounded decimal→double cast per window —
+    *    [[graft.streaming.StreamDrift]]'s proven spelling of
+    *    [[driftScan]]'s DECIMAL sums, asserted bit-equal by spec.
+    *
+    * Scale: every stage is keys·F or keys·chunks parallel; shuffled
+    * volume is n·(1 + 2w/C) rows (halo overhead 2w/C ≈ 0.2% at the
+    * defaults). Below ~4 chunks of total work it self-selects the
+    * plain window form after one bounds+count scan. Measured
+    * min-of-3: sf10 16.8 s (window form) → 4.18 s; sf1 2.53 →
+    * 2.05 s; sf0.1 rides the window form (0.86 s incl. the decision
+    * scan vs 0.61 pure — the price of never hitting the |keys|
+    * parallelism wall unnoticed). */
+  def driftScanChunked(ev: DataFrame, w: Int = 50,
+      fineBuckets: Int = 4096, chunkRows: Long = 65536): DataFrame = {
+    val s = ev.sparkSession
+    import s.implicits._
+    val typed = ev.select(col("event_id").cast("long"),
+        col("event_type"), col("secs").cast("long"),
+        col("value").cast("double"))
+      .as[(Long, String, Long, Double)]
+    val bounds = ev.agg(min("secs"), max("secs"), count(lit(1))).head()
+    if (bounds.isNullAt(0)) return driftScan(ev, w) // empty input
+    // self-select (the broadcast-threshold discipline): below ~4 chunks
+    // of total work the single-sort window form is strictly cheaper
+    // than the rank/fan-out orchestration, and the one bounds+count
+    // scan that decides costs ~0.1 s. Measured min-of-4: sf0.1 (100k
+    // rows) rides the window form at 0.86 s total where forced
+    // chunking reads 1.22 s; sf1+ takes the parallel path.
+    if (bounds.getLong(2) < 4 * chunkRows) return driftScan(ev, w)
+    val (minS, maxS) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(maxS - minS + 1, 1L)
+    val F = fineBuckets.toLong
+    def bucketOf(secs: Long): Int = (((secs - minS) * F) / span).toInt
+    // bounded collect: the (key, bucket) count grid
+    val grid = typed.map(r => (r._2, bucketOf(r._3)))
+      .toDF("k", "fb").groupBy("k", "fb").count()
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+    val base: Map[(String, Int), Long] = {
+      val byKey = grid.groupBy(_._1._1)
+      byKey.iterator.flatMap { case (k, cells) =>
+        var acc = 0L
+        cells.sortBy(_._1._2).map { case ((_, fb), c) =>
+          val b = ((k, fb), acc); acc += c; b
+        }
+      }.toMap
+    }
+    val nPerKey: Map[String, Long] =
+      grid.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val baseB = s.sparkContext.broadcast(base)
+    val nB = s.sparkContext.broadcast(nPerKey)
+    val C = chunkRows
+    val fbw = Window.partitionBy("k", "fb").orderBy("secs", "event_id")
+    val ranked = typed.toDF("event_id", "k", "secs", "value")
+      .withColumn("fb", udf((sec: Long) => bucketOf(sec)).apply(col("secs")))
+      .withColumn("rloc", row_number().over(fbw))
+    val withRn = ranked.as[(Long, String, Long, Double, Int, Int)]
+      .map { case (id, k, secs, v, fb, rloc) =>
+        (id, k, secs, v, baseB.value((k, fb)) + rloc - 1)
+      }
+    // home copy + the halo copies the neighbors' frames need
+    val fanned = withRn.flatMap { case (id, k, secs, v, rn) =>
+      val c = rn / C
+      val m = rn % C
+      val out = List.newBuilder[(Long, String, Long, Double, Long, Long)]
+      out += ((id, k, secs, v, rn, c))
+      if (m >= C - w) out += ((id, k, secs, v, rn, c + 1)) // before-halo
+      if (c > 0 && m <= w - 2) out += ((id, k, secs, v, rn, c - 1)) // after-halo
+      out.result()
+    }.toDF("event_id", "k", "secs", "value", "rn", "chunk")
+    val scanned = fanned
+      .repartition(col("k"), col("chunk"))
+      .sortWithinPartitions("k", "chunk", "rn")
+      .as[(Long, String, Long, Double, Long, Long)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(String, Long, Array[(Long, String, Long, Double, Long)])] {
+          def hasNext = buf.hasNext
+          def next() = {
+            val k = buf.head._2
+            val c = buf.head._6
+            val rows = Array.newBuilder[(Long, String, Long, Double, Long)]
+            while (buf.hasNext && buf.head._2 == k && buf.head._6 == c) {
+              val r = buf.next(); rows += ((r._1, r._2, r._3, r._4, r._5))
+            }
+            (k, c, rows.result())
+          }
+        }.flatMap { case (k, c, arr) =>
+          val nKey = nB.value(k)
+          val micros = arr.map(r => micro6(r._4))
+          // prefix(i) = Σ micros(0..i−1) — exact integer adds
+          val prefix = new Array[Long](arr.length + 1)
+          var i = 0
+          while (i < arr.length) { prefix(i + 1) = prefix(i) + micros(i); i += 1 }
+          arr.iterator.zipWithIndex.collect {
+            case ((id, key, secs, v, rn), p)
+                if rn / C == c && rn >= w && rn + w - 1 < nKey =>
+              // halo contiguity: the array holds every rank in its
+              // range, so the ±w frame is local prefix arithmetic
+              val sb = microsToDouble(prefix(p) - prefix(p - w))
+              val sa = microsToDouble(prefix(p + w) - prefix(p))
+              (id, key, secs, v, w.toLong, w.toLong, sb, sa,
+                sa / w - sb / w)
+          }
+        }
+      }
+      .toDF("event_id", "event_type", "secs", "value", "nb", "na", "sb",
+        "sa", "shift")
+    scanned
+  }
+
+  private[graft] def micro6(x: Double): Long =
+    (BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      * BigDecimal(1000000)).toLongExact
+
+  private[graft] def microsToDouble(sum: Long): Double =
+    new java.math.BigDecimal(java.math.BigInteger.valueOf(sum), 6).doubleValue()
+
   /** Generic core of [[e18WindowDrift]] over any
-    * (event_id, event_type, secs, value) frame. */
-  def windowDrift(ev: DataFrame, w: Int = 50, topK: Int = 20): DataFrame = {
-    graft.plans.TopKPerGroup.perKey(driftScan(ev, w),
+    * (event_id, event_type, secs, value) frame. `chunked` selects the
+    * keys×chunks-parallel scan ([[driftScanChunked]], bit-identical —
+    * spec-pinned) over the |keys|-parallel window form. */
+  def windowDrift(ev: DataFrame, w: Int = 50, topK: Int = 20,
+      chunked: Boolean = false): DataFrame = {
+    val scan = if (chunked) driftScanChunked(ev, w) else driftScan(ev, w)
+    graft.plans.TopKPerGroup.perKey(scan,
         Seq(col("event_type")),
         Seq(abs(col("shift")).desc, col("event_id")), topK)
       .select(col("event_id"), col("event_type"), col("value"),
