@@ -131,3 +131,44 @@ case class VecCosine(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Σ |aᵢ−bᵢ| over `array<double>` in index order — the EXACT fold
+  * `aggregate(zip_with(a, b, (x, y) -> abs(x - y)), 0D,
+  * (acc, v) -> acc + v)` computes (same abs-then-add, same
+  * left-to-right order, so results are bit-identical and the m4/m5
+  * oracles' stated fold order still holds), as one fused codegen loop.
+  * The HOF form interprets both lambdas per element and materializes
+  * the zipped array per pair — on m4's candidate stream that is the
+  * dominant per-pair cost. */
+case class VecL1D(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += math.abs(x.getDouble(i) - y.getDouble(i)); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += java.lang.Math.abs($a.getDouble($i) - $b.getDouble($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

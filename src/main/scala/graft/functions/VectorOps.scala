@@ -26,4 +26,9 @@ object VectorOps {
     * neither side's norm is precomputable (pairwise self-joins). */
   def cosine(a: Column, b: Column): Column =
     GraftShim.column(VecCosine(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Σ |aᵢ−bᵢ| over `array<double>`, bit-identical to the
+    * aggregate(zip_with(..)) fold (same order, same ops). */
+  def l1d(a: Column, b: Column): Column =
+    GraftShim.column(VecL1D(GraftShim.expression(a), GraftShim.expression(b)))
 }

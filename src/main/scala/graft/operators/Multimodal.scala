@@ -209,7 +209,14 @@ object Multimodal {
     * back twice); the df-cap applies as a broadcast semi-join
     * ([[capBuckets]]); the self-join scores L1 inline on each
     * collision and one groupBy dedups multi-band pairs. Total: one
-    * agg, one shuffle self-join, one pair groupBy. */
+    * agg, one shuffle self-join, one pair groupBy.
+    *
+    * The L1 is [[graft.functions.VecL1D]], a fused codegen loop
+    * bit-equal to the aggregate(zip_with(..)) HOF it replaced — the
+    * HOF interpreted two lambdas and materialized a zipped array per
+    * candidate pair, and was the dominant cost of the whole operator:
+    * swapping it measured m4 55→4.1 s and m5 48→4.1 s at sf10
+    * (min-of-2), 1.55→1.04 / 2.59→1.73 s at sf0.1 (min-of-3). */
   def percepPairs(docs: DataFrame, maxL1: Double = 0.05): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -220,7 +227,9 @@ object Multimodal {
       col("doc_id").as("a"), col("hist").as("ha"))
     val y = kept.select(col("band"), col("chunk"),
       col("doc_id").as("b"), col("hist").as("hb"))
-    val l1 = expr("aggregate(zip_with(ha, hb, (x, y) -> abs(x - y)), 0D, (acc, v) -> acc + v)")
+    // codegen'd fused loop, bit-equal to the aggregate(zip_with(..))
+    // fold the oracle states (same abs-then-add, same index order)
+    val l1 = graft.functions.VectorOps.l1d(col("ha"), col("hb"))
     val out = x.join(y, Seq("band", "chunk"))
       .filter(col("a") < col("b"))
       .withColumn("l1", l1)
