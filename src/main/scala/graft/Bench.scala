@@ -41,9 +41,17 @@ object Bench {
       // a query that throws is a FAILURE, never a timing — recording the
       // elapsed time of an instant crash would let a regression read as
       // a speedup. Failed queries report -1.0 and land in "failed".
+      //
+      // toRdd.count(), NOT count(): df.count() lets Catalyst prune the
+      // whole query down to whatever a row count needs — a final window
+      // or projection collapses to a bare scan (t13 measured 0.23 s
+      // "fast" where the real plan runs 15 s at sf10) and EliminateSorts
+      // drops every output orderBy. toRdd executes the EXACT optimized
+      // plan the query defines, streaming every row through the
+      // executors without collecting — what a real consumer pays.
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        fn(spark, sfDir).queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
         samples(name) = dt :: samples(name)
         System.err.println(f"[bench] pass $pass $name%-22s $dt%8.2f s")

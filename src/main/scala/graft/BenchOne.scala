@@ -17,7 +17,8 @@ object BenchOne {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
+      // full-plan execution — see Bench.scala on why count() lies
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
       println(f"[$i] ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

@@ -489,8 +489,11 @@ object TextOps {
     * the variant count.
     *
     * Scale: the normalization is a narrow codegen'd expression chain
-    * (no UDF); the group stats are one map-side-combined aggregate on
-    * the digest joined back — d1's shape plus the join. [sql-oracle]
+    * (no UDF), computed ONCE; the group stats ride an unbounded window
+    * over the digest — d1's exact shape (one hash shuffle, no join,
+    * no second normalization pass; the agg-plus-join-back form
+    * recomputed the regex chain on the probe side and measured 2.2×
+    * slower at sf10: 67.3 s → 30.4 s min-of-2). [sql-oracle]
     * (identical regex pipeline both engines; md5 of equal strings is
     * equal). */
   def t13Normalize(s: SparkSession, dir: String): DataFrame =
@@ -500,11 +503,10 @@ object TextOps {
   def normalizeDedup(docs: DataFrame): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-    val n = docs.select(col("doc_id"), md5(norm).as("h"))
-    val g = n.groupBy("h").agg(min(col("doc_id")).as("keeper"),
-      count(lit(1)).as("n_variants"))
-    n.join(g, "h")
-      .select(col("doc_id"), col("h"), col("keeper"), col("n_variants"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    docs.select(col("doc_id"), md5(norm).as("h"))
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .withColumn("n_variants", count(lit(1)).over(w))
       .orderBy("doc_id")
   }
 
