@@ -53,3 +53,99 @@ object MdHash64 {
     h >>> 4
   }
 }
+
+/** Fused min-over-gram-hashes: the value of
+  * `array_min(transform(sequence(0, greatest(length(t)-gram, 0)),
+  *            i -> MdHash64(substr(t, i+1, gram))))`
+  * as a single pass over the string's UTF-8 bytes.
+  *
+  * The composed HOF form materializes one UTF8String substring copy,
+  * one `getBytes` copy, and one fresh 16-byte digest array PER GRAM,
+  * plus the full hash array that `array_min` then re-scans — on a
+  * document of c characters that is ~4c allocations to produce one
+  * long. This expression digests each gram window in place
+  * (`MessageDigest.update(bytes, off, len)` into a thread-local output
+  * buffer) and folds the running min, so the only per-document
+  * allocation is the one `getBytes` copy (plus a char-offset table on
+  * non-ASCII input). Gram boundaries are CHARACTER-based exactly like
+  * `substr`, using the same `UTF8String.numBytesForFirstByte`
+  * segmentation, so values are bit-identical to the composed form —
+  * pinned by the MinGramHashSpec unicode equivalence suite and the t4
+  * DuckDB oracle, which is unchanged. */
+case class MinGramHash(child: Expression, gram: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    MinGramHash.hashMin(a.asInstanceOf[UTF8String], gram)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinGramHash.hashMin($c, $gram);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinGramHash {
+  private val digests = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+  private val outBufs = ThreadLocal.withInitial[Array[Byte]](() =>
+    new Array[Byte](16))
+
+  /** Hash of bytes[off, off+len) — same fold as [[MdHash64.hash]]. */
+  private def hashRange(md: MessageDigest, out: Array[Byte],
+      bytes: Array[Byte], off: Int, len: Int): Long = {
+    md.reset()
+    md.update(bytes, off, len)
+    md.digest(out, 0, 16)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (out(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  def hashMin(s: UTF8String, gram: Int): Long = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val md = digests.get()
+    val out = outBufs.get()
+    var ascii = true
+    var j = 0
+    while (ascii && j < n) { if (bytes(j) < 0) ascii = false; j += 1 }
+    if (ascii) {
+      // byte offsets == char offsets
+      if (n <= gram) return hashRange(md, out, bytes, 0, n)
+      var min = Long.MaxValue
+      var i = 0
+      val last = n - gram
+      while (i <= last) {
+        val h = hashRange(md, out, bytes, i, gram)
+        if (h < min) min = h
+        i += 1
+      }
+      min
+    } else {
+      // char-start byte offsets via the same segmentation substr uses
+      val offsets = new Array[Int](n + 1)
+      var numChars = 0
+      var off = 0
+      while (off < n) {
+        offsets(numChars) = off
+        off += UTF8String.numBytesForFirstByte(bytes(off))
+        numChars += 1
+      }
+      offsets(numChars) = n
+      if (numChars <= gram) return hashRange(md, out, bytes, 0, n)
+      var min = Long.MaxValue
+      var i = 0
+      val last = numChars - gram
+      while (i <= last) {
+        val a = offsets(i)
+        val h = hashRange(md, out, bytes, a, math.min(offsets(i + gram), n) - a)
+        if (h < min) min = h
+        i += 1
+      }
+      min
+    }
+  }
+}

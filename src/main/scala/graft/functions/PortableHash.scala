@@ -23,6 +23,13 @@ object PortableHash {
   def mdhash64(c: Column): Column =
     GraftShim.column(MdHash64(GraftShim.expression(c.cast("string"))))
 
+  /** Min over the [[mdhash64]] values of every `gram`-char window of
+    * the column (the whole clipped string when shorter) — the fused
+    * [[MinGramHash]] expression; see its scaladoc for the equivalence
+    * contract with the transform/array_min composition. */
+  def minGramHash(c: Column, gram: Int): Column =
+    GraftShim.column(MinGramHash(GraftShim.expression(c.cast("string")), gram))
+
   /** Same value via built-ins only, for composition inside SQL
     * `expr(...)` strings on sessions without graft's extensions. */
   def mdhash64Sql(e: String): String =
