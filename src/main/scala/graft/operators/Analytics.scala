@@ -407,14 +407,35 @@ object Analytics {
 
   /** q9_percentile — exact interpolated percentiles per group (Spark
     * `percentile` ≡ DuckDB `quantile_cont`, both R-7). Rounded to 6 dp:
-    * the two engines may differ in the last ulp of the interpolation. */
+    * the two engines may differ in the last ulp of the interpolation.
+    *
+    * Computed by [[DistributedPercentile.exact]] — sketch-bracketed
+    * distributed selection (same exact values) instead of the builtin's
+    * per-group value buffering, whose merge runs on |groups| cores and
+    * O(n) memory: at sf1 the builtin's 3-core merge was the whole
+    * sweep's most expensive query (23.4 s; the selection form measures
+    * the same result in ~1/5th of that — see BASELINE_SELF). Small
+    * inputs (every group ≤ smallN) take the buffered builtin unchanged. */
   def q9Percentile(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir)
-      .groupBy("l_returnflag")
-      .agg(
-        round(Pct.of(s, "l_quantity", 0.5), 6).as("med_qty"),
-        round(Pct.of(s, "l_extendedprice", 0.9), 6).as("p90_price"),
-        round(Pct.of(s, "l_extendedprice", 0.99), 6).as("p99_price"))
+    if (Pct.approxEnabled(s))
+      // the documented session switch to the mergeable GK estimate
+      // (Pct scaladoc) still short-circuits the exact machinery
+      return Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(Pct.of(s, "l_quantity", 0.5), 6).as("med_qty"),
+          round(Pct.of(s, "l_extendedprice", 0.9), 6).as("p90_price"),
+          round(Pct.of(s, "l_extendedprice", 0.99), 6).as("p99_price"))
+        .orderBy("l_returnflag")
+    import DistributedPercentile.Target
+    DistributedPercentile.exact(Tables.lineitem(s, dir), "l_returnflag",
+      Seq(Target("l_quantity", 0.5, "med_qty"),
+        Target("l_extendedprice", 0.9, "p90_price"),
+        Target("l_extendedprice", 0.99, "p99_price")))
+      .select(col("l_returnflag"),
+        round(col("med_qty"), 6).as("med_qty"),
+        round(col("p90_price"), 6).as("p90_price"),
+        round(col("p99_price"), 6).as("p99_price"))
       .orderBy("l_returnflag")
   }
 
