@@ -354,15 +354,111 @@ object Analytics {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** q13_window_suite — ntile/percent_rank/cume_dist per group over a
+    * TOTAL order (price, orderkey, linenumber — the last two unique),
+    * so rank ≡ row_number and all three functions are closed-form in
+    * (global row number, group size). Above [[Q13ChunkThreshold]] rows
+    * that closed form is computed CHUNK-PARALLEL ([[q13Chunked]]): the
+    * window form's parallelism is |l_returnflag| = 3 — three tasks
+    * each sort and stream 20M rows at sf10 while 29 cores idle, and on
+    * a real cluster the group count caps the whole plan. Below the
+    * threshold the plain window form is cheaper than the rank
+    * orchestration and is used unchanged (the one counting scan that
+    * decides is the e18 self-selection discipline). Both paths are
+    * bit-identical — spec-pinned on tie-heavy data and every n<k edge. */
   def q13WindowSuite(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    Tables.lineitem(s, dir)
+    val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_extendedprice"))
+    val b = li.agg(count(lit(1)), min("l_extendedprice"),
+      max("l_extendedprice")).head()
+    if (b.getLong(0) < Q13ChunkThreshold) q13Window(li)
+    else q13Chunked(li, b.getDouble(1), b.getDouble(2))
+  }
+
+  /** 500k keeps sf0.01 (and the spec SF) on the window form while the
+    * sf0.1 driver sweeps — bench AND DuckDB oracle — exercise the
+    * chunked path, so the scale path is oracle-covered, not only
+    * spec-covered. */
+  private val Q13ChunkThreshold = 500000L
+
+  /** The |groups|-parallel window form — the small-input path and the
+    * chunked path's correctness oracle. */
+  private[operators] def q13Window(li: DataFrame): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    li
       .withColumn("quartile", ntile(4).over(w))
       .withColumn("pct_rank", round(percent_rank().over(w), 6))
       .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Chunk-parallel twin of [[q13Window]], bit-identical output.
+    *
+    * 1. Fine VALUE buckets over the price range (monotone in price;
+    *    price ties share a bucket, so bucket order is consistent with
+    *    the total (price, orderkey, linenumber) sort).
+    * 2. One bounded driver collect of the (group, bucket) COUNT grid
+    *    (≤ groups·F cells, aggregate rows only — the a4/e18 boundary
+    *    discipline) → cumulative base rank per bucket + group size +
+    *    ntile bucket geometry, shipped back as a broadcast-joined
+    *    tiny frame (no UDF, stays in codegen).
+    * 3. row_number within (group, bucket) — parallelism groups·F —
+    *    plus the base gives every row its exact global rank; the
+    *    three window functions are then per-row formulas replicating
+    *    Spark's own arithmetic: ntile's padded-bucket integer
+    *    geometry, percent_rank's (rank−1)/(n−1) on integer-subtracted
+    *    doubles, cume_dist's rank/n.
+    *
+    * Parallelism is groups×F everywhere; shuffled volume is n rows
+    * once (the rank shuffle) — the same volume the window form
+    * shuffles, just not three-tasks-wide. Measured (v2 harness,
+    * min-of-2/3): sf10 214 s window form → 103 s, sf1 16.3 → 6.5 s —
+    * the group-sort wall is gone and the residual cost is the output
+    * orderBy + scans, which both forms pay and a cluster divides by
+    * its executor count (the window form's 3-task sort it cannot). */
+  private[operators] def q13Chunked(li: DataFrame, minP: Double,
+      maxP: Double, fineBuckets: Int = 4096): DataFrame = {
+    val s = li.sparkSession
+    import s.implicits._
+    val span = maxP - minP
+    val fb =
+      if (span == 0) lit(0)
+      else least(floor((col("l_extendedprice") - lit(minP)) / lit(span)
+        * lit(fineBuckets)).cast("int"), lit(fineBuckets - 1))
+    val withFb = li.withColumn("fb", fb)
+    val grid = withFb.groupBy("l_returnflag", "fb").count().collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val nOf = grid.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val baseRows = grid.groupBy(_._1).iterator.flatMap { case (g, cells) =>
+      val n = nOf(g)
+      var acc = 0L
+      cells.sortBy(_._2).map { case (_, fbi, c) =>
+        val row = (g, fbi, acc, n, n / 4, n % 4); acc += c; row
+      }
+    }.toSeq
+    val baseDf = baseRows
+      .toDF("l_returnflag", "fb", "base", "n_grp", "bs", "rpad")
+    val w = Window.partitionBy("l_returnflag", "fb")
+      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    withFb
+      .withColumn("rloc", row_number().over(w))
+      .join(broadcast(baseDf), Seq("l_returnflag", "fb"))
+      .withColumn("rn", col("base") + col("rloc")) // 1-based global rank
+      .withColumn("quartile", expr(
+        """CAST(CASE WHEN rn <= (bs + 1) * rpad
+          |  THEN (rn - 1) DIV (bs + 1) + 1
+          |  ELSE rpad + (rn - 1 - (bs + 1) * rpad) DIV bs + 1
+          |END AS INT)""".stripMargin))
+      .withColumn("pct_rank", round(
+        when(col("n_grp") > 1,
+          (col("rn") - 1).cast("double") / (col("n_grp") - 1).cast("double"))
+          .otherwise(0.0), 6))
+      .withColumn("cume", round(
+        col("rn").cast("double") / col("n_grp").cast("double"), 6))
+      .select("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_extendedprice", "quartile", "pct_rank", "cume")
       .orderBy("l_orderkey", "l_linenumber")
   }
 
