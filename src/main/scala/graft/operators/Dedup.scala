@@ -286,7 +286,7 @@ object Dedup {
     * candidate generation (prefix projection, distinct prefix word
     * bigrams, df cap, same-bigram self-join). The operator and the
     * PlanAudit candidate-volume guard both call this, so the guard
-    * can never drift from what the operator plans (the knnCandidates
+    * can never drift from what the operator plans (the scoredPairs
     * discipline). Returns (cached prefix frame, candidate pairs) —
     * callers unpersist the prefix frame. */
   private[graft] def editCandidates(docs: DataFrame, prefixLen: Int,

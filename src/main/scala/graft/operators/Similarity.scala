@@ -241,52 +241,67 @@ object Similarity {
     knnGraph(e, k, targetBucket)
   }
 
-  /** Generic core of [[s6KnnGraph]] over any (vec_id, embedding)
-    * frame. */
-  /** The bucketing stage of [[knnGraph]] — the ONE definition of its
-    * candidate generation (adaptive bits from a corpus count, bucket
-    * explode, same-bucket self-join, distinct directed pairs). The
-    * operator and its PlanAudit candidate-volume guard both call
-    * this, so the guard can never drift from what the operator
-    * actually plans. */
-  private[graft] def knnCandidates(vectors: DataFrame,
+  /** The candidate-generation AND scoring core of [[knnGraph]] — the
+    * ONE definition (adaptive bits from a corpus count, bucket explode
+    * CARRYING vector + norm, same-bucket self-join that computes the
+    * exact cosine inside the join, distinct (qid, cid, cos) rows). The
+    * operator and its PlanAudit candidate-volume guard both call this,
+    * so the guard can never drift from what the operator plans.
+    *
+    * Scoring INSIDE the bucket join is the load-bearing choice: the
+    * first cut generated bare (qid, cid) pairs and joined embeddings
+    * back per pair — at sf10 (80k vectors, ~25 MB > the broadcast
+    * threshold) both neighbor joins planned as sort-merge joins that
+    * SORTED the ~50M-pair list, the second with 256-byte vector
+    * payloads attached: 150–300 s and GC-bound. Here the only wide
+    * shuffle is the bucket rows themselves (n×tables vector copies,
+    * linear in n); pairs leave the join as narrow (qid, cid, cos)
+    * triples. Duplicate pairs from different tables produce the
+    * identical double, so distinct collapses them exactly as the old
+    * pair-level distinct did (NaN groups as equal in Spark distinct).
+    * Measured min-of-3: sf10 149 s (solo, unstable to 298) → 13.7 s
+    * (decade exponent 0.71); sf1 2.7 s and sf0.1 1.30 s, within noise
+    * of the old shape — the cliff only existed where the vector frame
+    * outgrew the broadcast threshold, which is exactly where 100 TB
+    * lives. */
+  private[graft] def scoredPairs(vectors: DataFrame,
       targetBucket: Int): DataFrame = {
     val s = vectors.sparkSession
     import s.implicits._
     val e = vectors.select(col("vec_id"), col("embedding"))
     val bits = adaptiveBits(e.count(), targetBucket)
-    val b = e.as[(Long, Seq[Float])]
-      .flatMap { case (id, v) => buckets(v, bits).map { case (t, bk) => (id, t, bk) } }
-      .toDF("id", "t", "bk")
-    b.select(col("id").as("qid"), col("t"), col("bk"))
-      .join(b.select(col("id").as("cid"), col("t"), col("bk")), Seq("t", "bk"))
+    val b = e
+      .withColumn("nrm", sqrt(VectorOps.normSq(col("embedding"))))
+      .as[(Long, Seq[Float], Double)]
+      .flatMap { case (id, v, nrm) =>
+        buckets(v, bits).map { case (t, bk) => (id, t, bk, v, nrm) } }
+      .toDF("id", "t", "bk", "vec", "nrm")
+    val cos = VectorOps.dot(col("eq"), col("ec")) / (col("qn") * col("cn"))
+    b.select(col("id").as("qid"), col("t"), col("bk"),
+        col("vec").as("eq"), col("nrm").as("qn"))
+      .join(b.select(col("id").as("cid"), col("t"), col("bk"),
+        col("vec").as("ec"), col("nrm").as("cn")), Seq("t", "bk"))
       .filter(col("qid") =!= col("cid"))
-      .select("qid", "cid").distinct()
+      .select(col("qid"), col("cid"), cos.as("cos"))
+      .distinct()
   }
 
+  /** Generic core of [[s6KnnGraph]] over any (vec_id, embedding)
+    * frame: [[scoredPairs]] + the bounded-heap per-vector top-k. */
   def knnGraph(vectors: DataFrame, k: Int = 5,
-      targetBucket: Int = 64): DataFrame = {
-    val e = vectors.select(col("vec_id"), col("embedding"))
-    val cand = knnCandidates(e, targetBucket)
-    val q = e.select(col("vec_id").as("qid"), col("embedding").as("eq"),
-      sqrt(VectorOps.normSq(col("embedding"))).as("qn"))
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ec"),
-      sqrt(VectorOps.normSq(col("embedding"))).as("cn"))
-    val cos = VectorOps.dot(col("eq"), col("ec")) / (col("qn") * col("cn"))
-    graft.plans.TopKPerGroup.perKey(
-        cand.join(q, "qid").join(c, "cid").withColumn("cos", cos),
+      targetBucket: Int = 64): DataFrame =
+    graft.plans.TopKPerGroup.perKey(scoredPairs(vectors, targetBucket),
         Seq(col("qid")), Seq(col("cos").desc, col("cid")), k)
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
         col("rank").as("rn"))
       .orderBy("qid", "rn")
-  }
 
-  /** Distinct unordered candidate-pair count of [[knnCandidates]] —
+  /** Distinct unordered candidate-pair count of [[scoredPairs]] —
     * the quantity the near-linear scale claim is about; used by the
     * PlanAudit quadratic-candidate guard. */
   private[graft] def knnCandidateCount(vectors: DataFrame,
       targetBucket: Int = 64): Long =
-    knnCandidates(vectors, targetBucket)
+    scoredPairs(vectors, targetBucket)
       .filter(col("qid") < col("cid"))
       .count()
 
