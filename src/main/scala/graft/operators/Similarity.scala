@@ -149,20 +149,14 @@ object Similarity {
     * to the recall target — candidates per query stay ~tables ×
     * bucket_size regardless of corpus size ([[adaptiveBits]] turns
     * that dial from a cheap corpus count; [[s6KnnGraph]] uses it). */
-  private val Tables8 = 16
+  private val Tables8 = graft.functions.HyperplaneBuckets.Tables8
   private val Bits = 4
-  private[graft] val MaxBits = 12
-  private val Dim = 64
-  /** Each (table, bit) plane draws from its OWN seeded stream, so the
-    * plane set is independent of MaxBits — growing the plane budget
-    * can never silently re-deal the hyperplanes an existing signature
-    * / recall floor was validated against (it did once, when a shared
-    * sequential RNG was re-shaped; this fixes the class). */
-  private lazy val planes: Array[Array[Array[Double]]] =
-    Array.tabulate(Tables8, MaxBits) { (t, b) =>
-      val rng = new scala.util.Random(99L + t * 1000L + b)
-      Array.fill(Dim)(rng.nextGaussian())
-    }
+  private[graft] val MaxBits = graft.functions.HyperplaneBuckets.MaxBits
+  private val Dim = graft.functions.HyperplaneBuckets.Dim
+  // the seeded plane family lives with the codegen bucketing expression
+  // (functions/HyperplaneBuckets.scala) — ONE definition for the
+  // columnar operators below and the Scala-side `buckets` the specs use
+  private def planes = graft.functions.HyperplaneBuckets.planes
 
   /** bits ≈ log2(n / targetBucket), floored at the fixed-dial 4 and
     * capped by the plane budget — keeps expected bucket size (and so
@@ -192,23 +186,40 @@ object Similarity {
   /** s2_ann_lsh — random-hyperplane LSH ANN: queries and corpus are
     * bucketed per table; only same-bucket candidates get exact cosine.
     * The scanned fraction drops to collisions (~corpus/2^bits per table),
-    * which is the 100 TB path; recall vs s1 is spec-tested. */
+    * which is the 100 TB path; recall vs s1 is spec-tested.
+    *
+    * Two structural rules, both learned by measurement here and in s6:
+    * scoring happens INSIDE the bucket join (a bare (qid, cid)
+    * candidate list that joins embeddings back per pair plans a
+    * sort-merge join with vector payloads once the corpus outgrows the
+    * broadcast threshold), and the bucket explode is COLUMNAR — the
+    * [[graft.functions.HyperplaneBuckets]] codegen expression +
+    * posexplode. The typed-flatMap explode this replaces re-encoded
+    * the 64-float payload per emitted bucket row through per-element
+    * `mapobjects` (39.8 s of old-s2's 41.8 s at sf10 — the join was
+    * ~2 s; see HyperplaneBuckets). The bucketed QUERY side (|probes| ×
+    * tables rows — small by definition) broadcasts into a hash join
+    * against the bucketed corpus carrying vector + norm; pairs leave
+    * as narrow (qid, cid, cos) triples, and duplicate same-pair rows
+    * from different tables carry the identical double, so distinct
+    * collapses them exactly as a pair-level distinct would.
+    * Bit-identical output (same buckets, same cosine arithmetic);
+    * measured min-of-3 at sf10: 42.7 → 1.7 s. */
   def s2AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    def bucketed(df: DataFrame, idCol: String) = df.as[(Long, Seq[Float])]
-      .flatMap { case (id, v) => buckets(v).map { case (t, bk) => (id, t, bk) } }
-      .toDF(idCol, "t", "bk")
-    val qb = bucketed(e.filter(col("vec_id") < 5), "qid")
-    val cb = bucketed(e.filter(col("vec_id") >= 5), "cid")
-    val cand = qb.join(cb, Seq("t", "bk")).select("qid", "cid").distinct()
-    val q = e.select(col("vec_id").as("qid"), col("embedding").as("eq"),
-      sqrt(VectorOps.normSq(col("embedding"))).as("qn"))
-    val c = e.select(col("vec_id").as("cid"), col("embedding").as("ec"),
-      sqrt(VectorOps.normSq(col("embedding"))).as("cn"))
+    def bucketed(df: DataFrame, idCol: String, vecAs: String, nrmAs: String) =
+      df.select(col("vec_id").as(idCol),
+        posexplode(graft.functions.HyperplaneBuckets.col(col("embedding"), Bits))
+          .as(Seq("t", "bk")),
+        col("embedding").as(vecAs),
+        sqrt(VectorOps.normSq(col("embedding"))).as(nrmAs))
+    val qb = bucketed(e.filter(col("vec_id") < 5), "qid", "eq", "qn")
+    val cb = bucketed(e.filter(col("vec_id") >= 5), "cid", "ec", "cn")
     val cos = VectorOps.dot(col("eq"), col("ec")) / (col("qn") * col("cn"))
-    graft.plans.TopKPerGroup.perKey(
-        cand.join(broadcast(q), "qid").join(c, "cid").withColumn("cos", cos),
+    val scored = cb.join(broadcast(qb), Seq("t", "bk"))
+      .select(col("qid"), col("cid"), cos.as("cos"))
+      .distinct()
+    graft.plans.TopKPerGroup.perKey(scored,
         Seq(col("qid")), Seq(col("cos").desc, col("cid")), 10)
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
         col("rank").as("rn"))
@@ -266,21 +277,27 @@ object Similarity {
     * lives. */
   private[graft] def scoredPairs(vectors: DataFrame,
       targetBucket: Int): DataFrame = {
-    val s = vectors.sparkSession
-    import s.implicits._
     val e = vectors.select(col("vec_id"), col("embedding"))
     val bits = adaptiveBits(e.count(), targetBucket)
-    val b = e
-      .withColumn("nrm", sqrt(VectorOps.normSq(col("embedding"))))
-      .as[(Long, Seq[Float], Double)]
-      .flatMap { case (id, v, nrm) =>
-        buckets(v, bits).map { case (t, bk) => (id, t, bk, v, nrm) } }
-      .toDF("id", "t", "bk", "vec", "nrm")
+    // columnar bucket explode (HyperplaneBuckets + posexplode) — the
+    // typed-flatMap form re-encoded the vector payload per bucket row
+    // through per-element mapobjects, which dominated the whole
+    // operator (see HyperplaneBuckets scaladoc; s6 15.7 → 5.0 s sf10)
+    val b = e.select(col("vec_id").as("id"),
+        posexplode(graft.functions.HyperplaneBuckets.col(col("embedding"), bits))
+          .as(Seq("t", "bk")),
+        col("embedding").as("vec"),
+        sqrt(VectorOps.normSq(col("embedding"))).as("nrm"))
     val cos = VectorOps.dot(col("eq"), col("ec")) / (col("qn") * col("cn"))
+    // shuffle_hash: an equi-join keyed on (t, bk) whose build side is
+    // the bucketed frame itself — hash-partition sizes are bounded by
+    // the adaptive-bits bucket geometry, and skipping SMJ's two sorts
+    // of the vector-payload bucket rows measured 20.5 → 11.0 s at sf10
     b.select(col("id").as("qid"), col("t"), col("bk"),
         col("vec").as("eq"), col("nrm").as("qn"))
       .join(b.select(col("id").as("cid"), col("t"), col("bk"),
-        col("vec").as("ec"), col("nrm").as("cn")), Seq("t", "bk"))
+          col("vec").as("ec"), col("nrm").as("cn")).hint("shuffle_hash"),
+        Seq("t", "bk"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), cos.as("cos"))
       .distinct()

@@ -141,15 +141,21 @@ object TextOps {
       .toSeq.toDF("bigram", "n_est")
   }
 
-  /** Per-language marker-word profiles (tiny embedded stopword lists —
-    * the n-gram-profile approach of Cavnar & Trenkle 1994, reduced to
-    * word unigrams). Column-only: stays in whole-stage codegen. */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that"),
-    "es" -> Seq("el", "los", "de", "y", "que", "en", "es", "una"),
-    "fr" -> Seq("le", "la", "les", "et", "un", "une", "est", "dans"),
-    "zh" -> Seq("de", "shi", "bu", "le", "ren", "wo", "zai", "you"))
+  /** Per-language marker-word profiles — the single definition lives
+    * with the fused scorer ([[graft.functions.MarkerHits.langs]]). */
+  private val langMarkers: Seq[(String, Seq[String])] =
+    graft.functions.MarkerHits.langs
+
+  /** All five score_〈lang〉 columns off ONE fused byte pass
+    * (MarkerHits — codegen'd; the composed split+filter HOF stack ran
+    * five interpreted lambdas per doc: t1 49.5 → 6.5 s at sf10).
+    * Values bit-identical to the HOF form (MarkerHitsSpec). */
+  private def withMarkerScores(docs: DataFrame): DataFrame =
+    langMarkers.zipWithIndex.foldLeft(
+      docs.withColumn("mh", graft.functions.MarkerHits.hitsCol(col("text")))) {
+      case (df, ((lang, _), i)) =>
+        df.withColumn(s"score_$lang", col("mh").getItem(i))
+    }
 
   /** t1_langid — marker-profile language ID: score = marker hits per
     * language, predict argmax (ties break to the lexicographically last
@@ -161,12 +167,7 @@ object TextOps {
   /** Core transform over any (doc_id, text) frame — spec-tested on
     * crafted per-language sentences. */
   def langidOver(docs: DataFrame): DataFrame = {
-    val scored = langMarkers.foldLeft(
-      docs.withColumn("words", split(col("text"), " "))) {
-      case (df, (lang, markers)) =>
-        df.withColumn(s"score_$lang",
-          size(filter(col("words"), w => w.isInCollection(markers))))
-    }
+    val scored = withMarkerScores(docs)
     val structs = langMarkers.map { case (lang, _) =>
       struct(col(s"score_$lang").as("sc"), lit(lang).as("lang"))
     }
@@ -339,12 +340,7 @@ object TextOps {
 
   /** Core of [[t15LangidMargin]] over any (doc_id, text) frame. */
   def langidMargin(docs: DataFrame): DataFrame = {
-    val scored = langMarkers.foldLeft(
-      docs.withColumn("words", split(col("text"), " "))) {
-      case (df, (lang, markers)) =>
-        df.withColumn(s"score_$lang",
-          size(filter(col("words"), w => w.isInCollection(markers))))
-    }
+    val scored = withMarkerScores(docs)
     val structs = langMarkers.map { case (lang, _) =>
       struct(col(s"score_$lang").cast("int").as("sc"), lit(lang).as("lang"))
     }
