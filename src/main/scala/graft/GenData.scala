@@ -47,6 +47,13 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/testdata/sf1")
     val scale = args.drop(1).headOption.map(_.toDouble).getOrElse(1.0)
+    // optional comma-separated table subset (3rd arg). lineitem's
+    // l_linenumber window shuffles the full table (~2x its size in
+    // temp), which prices the 600M-row sf100 lineitem out of this
+    // sandbox's disk -- the doc/event/embedding families that the
+    // high-SF scale checks target generate without it.
+    val tables = args.drop(2).headOption
+      .map(_.split(",").map(_.trim).toSet)
     val s = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS",
         Runtime.getRuntime.availableProcessors.toString)}]")
@@ -58,8 +65,8 @@ object GenData {
     import s.implicits._
 
     def n(base: Long) = math.max(1L, (base * scale).toLong)
-    def write(df: org.apache.spark.sql.DataFrame, name: String,
-        files: Int): Unit = {
+    def write(df: => org.apache.spark.sql.DataFrame, name: String,
+        files: Int): Unit = if (tables.forall(_.contains(name))) {
       df.repartition(files).write.mode(SaveMode.Overwrite)
         .parquet(s"$out/$name.parquet")
       println(s"[gen] $name done")
