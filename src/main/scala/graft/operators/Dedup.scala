@@ -656,8 +656,6 @@ object Dedup {
     * (vec_id, embedding, cl). */
   private[graft] def semClusters(e: DataFrame,
       targetCluster: Int = 64): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val s = e.sparkSession
     val vecs = e.select(col("vec_id"), col("embedding"))
     val n = vecs.count()
@@ -668,32 +666,47 @@ object Dedup {
     val k = math.max(1L, math.min(math.max(4L,
       math.min(65536L, n / targetCluster)), n)).toInt
     val trainFrac = math.min(1.0, 100000.0 / math.max(n, 1L))
-    val train = Sampling.uniform(vecs, col("vec_id"), trainFrac)
-      .select(array_to_vector(col("embedding")).as("features"))
-      .coalesce(8).cacheIf()
-    // random init on the bounded cached sample (the s3/a3 fit regime):
-    // k-means|| seeding spends extra passes a coarse partitioner
-    // doesn't need.
-    val model = new KMeans().setK(k).setSeed(7L).setMaxIter(10)
-      .setInitMode("random").fit(train)
-    train.unpersistIf()
-    val centers = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
-    val nearest = udf((v: Seq[Float]) => {
-      val cs = centers.value
-      var best = 0
-      var bd = Double.MaxValue
-      var ci = 0
-      while (ci < cs.length) {
-        val ctr = cs(ci)
-        var d = 0.0
-        var i = 0
-        while (i < ctr.length) { val df = v(i) - ctr(i); d += df * df; i += 1 }
-        if (d < bd) { bd = d; best = ci }
-        ci += 1
+    // bounded driver sample, SORTED so the fit is layout-independent
+    val sample = Sampling.uniform(vecs, col("vec_id"), trainFrac)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    // FLAT Lloyd while k is small; HIERARCHICAL √k × √k above 256
+    // cells. A flat fit/assign is n×k×d with k ∝ n — quadratic: the
+    // sf100 decade measured 1187 s (exponent ~1.75 from sf10, which
+    // the sf1→sf10 decade's 1.02 had hidden). Two bounded levels make
+    // every vector pay (k1+k2)·d ≈ 2√k·d: same-cell ⇔ same (coarse,
+    // fine) pair, near-identical vectors still co-locate through both
+    // levels (planted-dup recall spec), and the within-cell candidate
+    // guard measures the same Σ size² bound (PlanAuditSpec, both
+    // regimes). Fits run driver-side over the sample (DriverKMeans —
+    // single-digit Gflops; MLlib job overhead per fine cell would
+    // dwarf the arithmetic).
+    if (k <= 256) {
+      val centers =
+        s.sparkContext.broadcast(graft.ml.DriverKMeans.fit(sample, k, 10, 7L))
+      val nearestC = udf((v: Seq[Float]) =>
+        graft.ml.DriverKMeans.nearest(v.toArray, centers.value))
+      vecs.withColumn("cl", nearestC(col("embedding")))
+    } else {
+      val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+      val k2 = math.ceil(k.toDouble / k1).toInt
+      val coarse = graft.ml.DriverKMeans.fit(sample, k1, 10, 7L)
+      val byCell = sample.groupBy(p => graft.ml.DriverKMeans.nearest(p, coarse))
+      val fine = Array.tabulate(coarse.length) { c =>
+        byCell.get(c) match {
+          case Some(pts) => graft.ml.DriverKMeans.fit(pts, k2, 10, 7L + c)
+          case None => Array(coarse(c))
+        }
       }
-      best
-    })
-    vecs.withColumn("cl", nearest(col("embedding")))
+      val bc = s.sparkContext.broadcast((coarse, fine))
+      val nearestH = udf((v: Seq[Float]) => {
+        val (co, fi) = bc.value
+        val a = v.toArray
+        val c = graft.ml.DriverKMeans.nearest(a, co)
+        c * k2 + graft.ml.DriverKMeans.nearest(a, fi(c))
+      })
+      vecs.withColumn("cl", nearestH(col("embedding")))
+    }
   }
 
   /** Semantic dedup pairs (SemDeDup, Abbas et al. 2023): KMeans

@@ -233,6 +233,32 @@ class PlanAuditSpec extends SparkSpec {
       s"d11 candidates $bigCand not near-linear at n=$bigN")
   }
 
+  test("d11's hierarchical cell regime (k > 256) stays near-linear and keeps planted dups") {
+    import spark.implicits._
+    // 20k vectors / targetCluster 64 → k = 312 > 256: the two-level
+    // √k × √k assignment engages (the flat-path tests above never
+    // exercise it). Contract: candidate volume stays near-linear AND
+    // near-identical vectors co-locate through BOTH levels.
+    val rng = new scala.util.Random(19L)
+    val n = 20000
+    val base = Array.fill(n)(Array.fill(16)(rng.nextGaussian().toFloat))
+    val planted = (0 until 40).map { i =>
+      (100000L + i,
+        base(i).map(x => x + rng.nextGaussian().toFloat * 0.005f).toSeq)
+    }
+    val corpus = (base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      ++ planted).toSeq.toDF("vec_id", "embedding")
+    val total = (n + 40).toLong
+    val cand = operators.Dedup.semDedupCandidateCount(corpus, targetCluster = 64)
+    assert(cand < total * (total - 1) / 2 / 50,
+      s"d11 hierarchical candidates $cand not near-linear at n=$total")
+    val found = operators.Dedup.semDedup(corpus, minCos = 0.98,
+        targetCluster = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (0 until 40).count(i => found.contains((i.toLong, 100000L + i)))
+    assert(hits >= 32, s"planted-dup recall $hits/40 through the two-level cells")
+  }
+
   test("s6's adaptive LSH keeps kNN-graph candidates near-linear as the corpus grows") {
     import spark.implicits._
     // synthetic corpus big enough that the adaptive dial must actually
