@@ -54,6 +54,13 @@ object GenData {
     // high-SF scale checks target generate without it.
     val tables = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
+    val known = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { ts =>
+      val bad = ts -- known
+      require(bad.isEmpty, s"GenData: unknown table name(s) ${bad.mkString(",")} " +
+        s"— valid: ${known.toSeq.sorted.mkString(",")}")
+    }
     val s = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS",
         Runtime.getRuntime.availableProcessors.toString)}]")

@@ -23,19 +23,42 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * expression + posexplode the bucketing stays columnar end-to-end
   * (the vector payload is copied as raw UnsafeArrayData bytes, never
   * element-walked): s2 42 → 1.7 s at sf10; s6 (which reuses this via
-  * scoredPairs, where the ~50M-triple distinct also weighs) 17.5 →
-  * 11.0 s. Bit-identical buckets (same double arithmetic, pinned by
+  * scoredPairs, where the ~50M-triple distinct also weighs) read
+  * 17.5 → 11.0 s for this change alone; the standing re-based s6
+  * figure after the full r5 rework is 13.7 s at sf10.
+  * Bit-identical buckets (same double arithmetic, pinned by
   * KnnGraphEquivSpec + the s2/s6 recall and equivalence suites). */
 case class HyperplaneBuckets(child: Expression, bits: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  // A null embedding is CORRUPTION, not data: the downstream
+  // posexplode would silently drop the row from s2/s6/d11 results
+  // (the old typed-flatMap path failed loudly on null). Fail loudly
+  // instead of propagating null. Pinned by HyperplaneBucketsNullSpec.
+  override def nullable: Boolean = false
+
   override def nullSafeEval(a: Any): Any =
     HyperplaneBuckets.compute(a.asInstanceOf[ArrayData], bits)
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.HyperplaneBuckets.compute($c, $bits);")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) throw HyperplaneBuckets.nullInput()
+    HyperplaneBuckets.compute(a.asInstanceOf[ArrayData], bits)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code +
+        code"""
+           |if (${c.isNull}) throw graft.functions.HyperplaneBuckets.nullInput();
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+           |  graft.functions.HyperplaneBuckets.compute(${c.value}, $bits);
+           |""".stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -45,6 +68,11 @@ object HyperplaneBuckets {
   val Tables8 = 16
   val MaxBits = 12
   val Dim = 64
+
+  /** Called from generated code too — keep it a plain static factory. */
+  def nullInput(): RuntimeException = new IllegalStateException(
+    "HyperplaneBuckets: null embedding — corrupt input row (a null here " +
+      "would be silently dropped by the downstream posexplode)")
 
   /** Each (table, bit) plane draws from its OWN seeded stream, so the
     * plane set is independent of MaxBits — growing the plane budget

@@ -33,8 +33,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Bit-identical to the composed form — pinned by MarkerHitsSpec
   * (crafted sentences, multi-space/empty/unicode/overlong tokens,
   * seeded random corpora) and by the unchanged t1/t15 DuckDB oracles.
-  * Measured (v2 harness, min-of-3 at sf10): t1 49.5 → 6.5 s,
-  * t15 18.0 → 6.6 s. */
+  * Measured (v2 harness, re-based min-of-N at sf10 — the standing
+  * BASELINE_SELF numbers): t1 49.5 → 3.2 s, t15 18.0 → 3.1 s (the
+  * first in-session reading was 6.5/6.6 s; min-of-N across later
+  * passes settled lower). */
 case class MarkerHits(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 

@@ -66,9 +66,15 @@ object DriverKMeans {
     var ci = 0
     while (ci < centers.length) {
       val ctr = centers(ci)
+      // a vector shorter than the centroid is a malformed embedding —
+      // fail loudly (the old UDF threw IndexOutOfBounds) rather than
+      // silently scoring a truncated distance
+      if (v.length < ctr.length) throw new IllegalArgumentException(
+        s"DriverKMeans.nearest: embedding dim ${v.length} < centroid " +
+          s"dim ${ctr.length} — malformed input vector")
       var d = 0.0
       var i = 0
-      while (i < ctr.length && i < v.length) {
+      while (i < ctr.length) {
         val df = v(i) - ctr(i); d += df * df; i += 1
       }
       if (d < bd) { bd = d; best = ci }

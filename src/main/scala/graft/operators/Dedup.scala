@@ -659,6 +659,10 @@ object Dedup {
     val s = e.sparkSession
     val vecs = e.select(col("vec_id"), col("embedding"))
     val n = vecs.count()
+    // an empty (or fully filtered) corpus has nothing to cluster —
+    // return the empty assignment frame rather than letting
+    // DriverKMeans.fit's require(n > 0) throw a generic message
+    if (n == 0L) return vecs.withColumn("cl", lit(0))
     // k scales WITH the corpus (expected cluster size ≈ targetCluster
     // regardless of n) — the dial that keeps Σ size² near-linear; a
     // fixed k would make clusters, and the within-cluster pair space,

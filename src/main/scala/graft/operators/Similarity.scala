@@ -282,7 +282,10 @@ object Similarity {
     // columnar bucket explode (HyperplaneBuckets + posexplode) — the
     // typed-flatMap form re-encoded the vector payload per bucket row
     // through per-element mapobjects, which dominated the whole
-    // operator (see HyperplaneBuckets scaladoc; s6 15.7 → 5.0 s sf10)
+    // operator (see HyperplaneBuckets scaladoc; one mid-session s6
+    // reading 15.7 → 5.0 s — the standing re-based s6 figure after
+    // this + the shuffle_hash + in-join scoring changes is 13.7 s
+    // at sf10, from 149–298 s before the r5 rework)
     val b = e.select(col("vec_id").as("id"),
         posexplode(graft.functions.HyperplaneBuckets.col(col("embedding"), bits))
           .as(Seq("t", "bk")),

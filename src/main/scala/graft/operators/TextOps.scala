@@ -153,7 +153,8 @@ object TextOps {
 
   /** All five score_〈lang〉 columns off ONE fused byte pass
     * (MarkerHits — codegen'd; the composed split+filter HOF stack ran
-    * five interpreted lambdas per doc: t1 49.5 → 6.5 s at sf10).
+    * five interpreted lambdas per doc: t1 49.5 → 3.2 s at sf10,
+    * re-based min-of-N).
     * Values bit-identical to the HOF form (MarkerHitsSpec). */
   private def withMarkerScores(docs: DataFrame): DataFrame =
     langMarkers.zipWithIndex.foldLeft(

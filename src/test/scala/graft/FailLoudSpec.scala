@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corruption must fail loudly, not vanish (r5 ADVICE items): a null
+  * embedding reaching HyperplaneBuckets would otherwise become a null
+  * bucket array that posexplode silently drops from s2/s6/d11 results;
+  * a dimension-mismatched vector reaching DriverKMeans.nearest would
+  * otherwise score a silently truncated distance. */
+class FailLoudSpec extends SparkSpec {
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType, containsNull = false),
+      nullable = true)))
+
+  private def frame(rows: Seq[Row]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), embSchema)
+
+  test("HyperplaneBuckets throws on a null embedding (codegen path)") {
+    val rows = Seq(
+      Row(1L, Seq.fill(64)(0.1f)),
+      Row(2L, null))
+    val ex = intercept[Exception] {
+      frame(rows)
+        .select(graft.functions.HyperplaneBuckets.col(col("embedding"), 4))
+        .collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(ex).contains("null embedding"), rootMsg(ex))
+  }
+
+  test("HyperplaneBuckets throws on a null embedding (interpreted eval)") {
+    val expr = graft.functions.HyperplaneBuckets(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        null, ArrayType(FloatType)), 4)
+    val ex = intercept[IllegalStateException] {
+      expr.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    assert(ex.getMessage.contains("null embedding"))
+  }
+
+  test("HyperplaneBuckets still buckets valid rows identically") {
+    val rows = Seq(Row(1L, Seq.fill(64)(0.1f)))
+    val got = frame(rows)
+      .select(graft.functions.HyperplaneBuckets.col(col("embedding"), 4))
+      .collect()(0).getSeq[Int](0)
+    val want = graft.functions.HyperplaneBuckets.compute(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array.fill(64)(0.1f)), 4).toIntArray.toSeq
+    assert(got == want)
+  }
+
+  test("DriverKMeans.nearest rejects a vector shorter than the centroid") {
+    val centers = Array(Array.fill(64)(0.0))
+    val ex = intercept[IllegalArgumentException] {
+      graft.ml.DriverKMeans.nearest(Array.fill(32)(0.0f), centers)
+    }
+    assert(ex.getMessage.contains("dim 32"))
+    // equal dims still fine
+    assert(graft.ml.DriverKMeans.nearest(Array.fill(64)(0.5f), centers) == 0)
+  }
+
+  test("semClusters short-circuits an empty corpus to an empty frame") {
+    val empty = frame(Seq.empty)
+    val out = graft.operators.Dedup.semClusters(empty)
+    assert(out.columns.toSeq == Seq("vec_id", "embedding", "cl"))
+    assert(out.count() == 0L)
+  }
+}
