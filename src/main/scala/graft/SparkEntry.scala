@@ -103,6 +103,10 @@ object SparkEntry {
     "e22_seasonal_strength" -> (EventOps.e22SeasonalStrength _),
     "e23_detector_scorecard" -> (EventOps.e23DetectorScorecard _),
     "a6_holt" -> (AnomalyML.a6Holt _),
+    // model-fit ops whose DuckDB oracle embeds the fitted model as
+    // literals, built at Verify dump time (dynamicOracleSql)
+    "a1_isoforest" -> (AnomalyML.a1Isoforest _),
+    "a3_kmeans_outlier" -> (AnomalyML.a3KmeansOutlier _),
     // rows-only ops (hash/ML-algorithm-defined; spec-tested, no SQL oracle)
     "q11_approx_distinct" -> (Analytics.q11ApproxDistinct _),
     "q18_sketch_rollup" -> (Analytics.q18SketchRollup _),
@@ -114,9 +118,7 @@ object SparkEntry {
     "d3_minhash_lsh" -> (DedupApprox.d3MinhashLsh _),
     "s2_ann_lsh" -> (Similarity.s2AnnLsh _),
     "t1_langid" -> (TextOps.t1Langid _),
-    "a1_isoforest" -> (AnomalyML.a1Isoforest _),
     "a2_ewma" -> (AnomalyML.a2Ewma _),
-    "a3_kmeans_outlier" -> (AnomalyML.a3KmeansOutlier _),
     "a4_cusum_drift" -> (AnomalyML.a4CusumDrift _),
     "a7_pca_outlier" -> (AnomalyML.a7PcaOutlier _),
     "a8_hist_drift" -> (AnomalyML.a8HistDrift _),
@@ -137,4 +139,12 @@ object SparkEntry {
       DedupApprox.oracle ++ Similarity.oracle ++ TextOps.oracle ++
       AsOf.oracle ++ RangeJoin.oracle ++ Sampling.oracle ++
       AnomalyML.oracle ++ Multimodal.oracle
+
+  /** Oracles that embed a deterministically fitted model as SQL
+    * literals (a1's step functions, a3's centroids) — data-dependent,
+    * so they are built against the Verify run's own sfDir and merged
+    * into oracle_sql.json at dump time. The fits are memoized per dir,
+    * so the SQL replays exactly the model the dumped query scored with. */
+  def dynamicOracleSql(s: SparkSession, dir: String): Map[String, String] =
+    AnomalyML.dynOracle(s, dir)
 }

@@ -42,7 +42,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // literal-embedding oracles (a1/a3) fit their model against THIS
+    // sfDir at dump time — a fit failure must not zero the whole round,
+    // so they degrade to absent entries (driver records rows-only)
+    val dynamic =
+      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracle build failed: ${e.getMessage}")
+        Map.empty[String, String]
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -54,27 +54,44 @@ object AnomalyML {
     * that sliver ever shuffles — the full table never moves through the
     * low-cardinality key partitioning (which would funnel 100 TB into
     * #keys tasks), and the driver collect stays bounded at any scale. */
+  /** The deterministic per-key forest fit, shared by [[a1Isoforest]]
+    * and the literal-embedding oracle builder ([[dynOracle]]) and
+    * memoized per data dir so both see the SAME model within a
+    * Verify/Bench JVM. The collected pool is sorted by (key, value)
+    * before fitting — collect() order is partition order, which the
+    * fit's pool-index sampling would otherwise bake into the model. */
+  private val a1Cache =
+    new scala.collection.concurrent.TrieMap[String, Map[String, GraftIsolationForest.Step1]]
+
+  def a1Forests(s: SparkSession, dir: String): Map[String, GraftIsolationForest.Step1] =
+    a1Cache.getOrElseUpdate(dir, {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
+      val minCount = ev.groupBy("event_type").count()
+        .agg(min("count")).collect()(0).getLong(0)
+      val keep = math.max(1L, minCount / 4096)
+      val w = Window.partitionBy("event_type").orderBy(xxhash64(col("event_id")), col("event_id"))
+      val pool = ev.filter(pmod(xxhash64(col("event_id")), lit(keep)) === 0)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 1024)
+        .select(col("event_type"), col("value"))
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+        .sorted
+        .groupBy(_._1)
+        .map { case (k, rows) => k -> rows.map(r => Array(r._2)) }
+      // the fitted forests compile to per-key step functions (sorted
+      // boundaries + precomputed scores — see Step1): scoring drops from
+      // 100 tree walks/row to one binary search/row, allocation-free.
+      // Measured at sf0.1: 2.14 s → 1.22 s min-of-3 (r5).
+      pool.map { case (k, xs) =>
+        k -> GraftIsolationForest.compile1(
+          GraftIsolationForest.fit(xs.toArray, numTrees = 100, sampleSize = 256, seed = 42L))
+      }
+    })
+
   def a1Isoforest(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
-    val minCount = ev.groupBy("event_type").count()
-      .agg(min("count")).collect()(0).getLong(0)
-    val keep = math.max(1L, minCount / 4096)
-    val w = Window.partitionBy("event_type").orderBy(xxhash64(col("event_id")), col("event_id"))
-    val pool = ev.filter(pmod(xxhash64(col("event_id")), lit(keep)) === 0)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 1024)
-      .select(col("event_type"), col("value"))
-      .collect()
-      .groupBy(_.getString(0))
-      .map { case (k, rows) => k -> rows.map(r => Array(r.getDouble(1))) }
-    // the fitted forests compile to per-key step functions (sorted
-    // boundaries + precomputed scores — see Step1): scoring drops from
-    // 100 tree walks/row to one binary search/row, allocation-free.
-    // Measured at sf0.1: 2.14 s → 1.22 s min-of-3 (r5).
-    val forests = pool.map { case (k, xs) =>
-      k -> GraftIsolationForest.compile1(
-        GraftIsolationForest.fit(xs.toArray, numTrees = 100, sampleSize = 256, seed = 42L))
-    }
+    val forests = a1Forests(s, dir)
     val bc = s.sparkContext.broadcast(forests)
     val scoreUdf = udf { (t: String, v: Double) =>
       val st = bc.value.getOrElse(t, null)
@@ -85,8 +102,12 @@ object AnomalyML {
     // uncached it runs twice (the a3 lesson, ADVICE r1)
     val scored = ev.withColumn("score", scoreUdf(col("event_type"), col("value")))
       .cacheIf()
+    // cut rounded to 6 dp: both engines' exact-percentile interpolation
+    // can differ in the last ulp, and the cut sits in a FILTER — rounding
+    // makes the cut value itself engine-stable (the q9 discipline),
+    // which is what lets a1 carry a full DuckDB hash oracle
     val cuts = scored.groupBy("event_type")
-      .agg(Pct.of(s, "score", 0.95).as("if_cut"))
+      .agg(round(Pct.of(s, "score", 0.95), 6).as("if_cut"))
     val out = scored.join(broadcast(cuts), "event_type")
       .filter(col("score") > col("if_cut"))
       .select(col("event_id"), col("event_type"), col("value"),
@@ -105,26 +126,40 @@ object AnomalyML {
     * Scale: MLlib KMeans is the distributed fit (k·dim-sized model),
     * centroids broadcast for scoring, and the fence aggregate is one
     * map-side-combined pass — no per-row driver work anywhere. */
+  /** Memoized per-dir centroid fit, shared by [[a3KmeansOutlier]] and
+    * the literal-embedding oracle builder ([[dynOracle]]) — within one
+    * Verify JVM the oracle replays the SAME centroids the query scored
+    * with (MLlib's seeded fit is deterministic for a fixed partition
+    * layout, but sharing the fitted array removes the assumption). */
+  private val a3Cache =
+    new scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]
+
+  def a3Centers(s: SparkSession, dir: String): Array[Array[Double]] =
+    a3Cache.getOrElseUpdate(dir, {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = Tables.spread(s, Tables.embeddings(s, dir))
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      // fit on a bounded deterministic sample, few partitions, random
+      // init: centroid quality needs ~10⁴–10⁵ vectors regardless of
+      // corpus size, and k-means|| init alone costs ~2 passes (several
+      // jobs) over the input — random init + coalesce keeps the fit at
+      // a handful of tiny jobs while scoring stays full-corpus
+      val n = e.count()
+      val trainFrac = math.min(1.0, 100000.0 / math.max(n, 1L))
+      val train = Sampling.uniform(e, col("vec_id"), trainFrac)
+        .select(col("features")).coalesce(8).cacheIf()
+      val model = new KMeans().setK(10).setSeed(42L).setMaxIter(10)
+        .setInitMode("random").fit(train)
+      train.unpersistIf()
+      model.clusterCenters.map(_.toArray)
+    })
+
   def a3KmeansOutlier(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val e = Tables.spread(s, Tables.embeddings(s, dir))
-      .select(col("vec_id"), col("embedding"),
-        array_to_vector(col("embedding")).as("features"))
+      .select(col("vec_id"), col("embedding"))
       .cacheIf()
-    // fit on a bounded deterministic sample, few partitions, random
-    // init: centroid quality needs ~10⁴–10⁵ vectors regardless of
-    // corpus size, and k-means|| init alone costs ~2 passes (several
-    // jobs) over the input — random init + coalesce keeps the fit at
-    // a handful of tiny jobs while scoring stays full-corpus
-    val n = e.count()
-    val trainFrac = math.min(1.0, 100000.0 / math.max(n, 1L))
-    val train = Sampling.uniform(e, col("vec_id"), trainFrac)
-      .select(col("features")).coalesce(8).cacheIf()
-    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(10)
-      .setInitMode("random").fit(train)
-    train.unpersistIf()
-    val centers = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
+    val centers = s.sparkContext.broadcast(a3Centers(s, dir))
     val distUdf = udf((v: Seq[Float]) => {
       var best = Double.MaxValue
       var bi = -1
@@ -146,8 +181,10 @@ object AnomalyML {
       .cacheIf()
     // fence at the exact 98th percentile of centroid distance (the
     // synthetic clusters are tight enough that mean+2σ flags nothing);
-    // at real scale swap percentile → approx_percentile, same plan shape
-    val fence = scored.agg(Pct.of(s, "dist", 0.98))
+    // at real scale swap percentile → approx_percentile, same plan shape.
+    // Rounded to 6 dp so the filter threshold is engine-stable — the
+    // same discipline as a1's cut, enabling the DuckDB hash oracle.
+    val fence = scored.agg(round(Pct.of(s, "dist", 0.98), 6))
       .collect()(0).getDouble(0)
     // materialize the (bounded: 2% of rows) result off the cache, then
     // drop both caches — they must not outlive the operator call in a
@@ -733,6 +770,88 @@ object AnomalyML {
   def a7PcaOutlier(s: SparkSession, dir: String): DataFrame =
     pcaOutlier(Tables.spread(s, Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding")))
+
+  /** Literal-embedding DuckDB oracles for the model-fit operators: the
+    * deterministic fitted model (a1's compiled per-key step functions,
+    * a3's centroids) is embedded in the SQL as literals, and everything
+    * downstream of the fit — scoring, quantile cut, filter, rounding —
+    * is replayed independently by DuckDB. Built at Verify dump time
+    * from the SAME memoized fit the query scored with, so the oracle
+    * exercises the distributed scoring + thresholding machinery
+    * end-to-end (the fit itself stays covered by the planted-anomaly
+    * specs). Double literals via Double.toString: shortest round-trip
+    * form, restored bit-exact by DuckDB's strtod. */
+  def dynOracle(s: SparkSession, dir: String): Map[String, String] = Map(
+    "a1_isoforest" -> a1OracleSql(s, dir),
+    "a3_kmeans_outlier" -> a3OracleSql(s, dir))
+
+  private def dlit(d: Double): String =
+    if (d == Double.PositiveInfinity) "'infinity'::DOUBLE"
+    else if (d == Double.NegativeInfinity) "'-infinity'::DOUBLE"
+    else d.toString
+
+  /** Rounds a double expression to 6 dp exactly as Spark's round()
+    * does (decimal half-up over the shortest string form). */
+  private def r6(e: String): String =
+    s"COALESCE(CAST(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), $e)"
+
+  /** a1's score(v) is scores[#bounds <= v] (Step1.score's binary
+    * search) — in SQL: an ASOF join against the (lo = left interval
+    * endpoint, sc) table, lo prepended with -infinity for the leftmost
+    * interval. */
+  private def a1OracleSql(s: SparkSession, dir: String): String = {
+    val rows = a1Forests(s, dir).toSeq.sortBy(_._1).map { case (k, st) =>
+      val los = (Seq("'-infinity'::DOUBLE") ++ st.bounds.map(dlit))
+        .mkString("[", ",", "]")
+      val scs = st.scores.map(dlit).mkString("[", ",", "]")
+      s"('$k', $los, $scs)"
+    }
+    s"""WITH raw AS (
+       |  SELECT et, UNNEST(los) AS lo, UNNEST(scs) AS sc
+       |  FROM (VALUES ${rows.mkString(",\n  ")}) AS m(et, los, scs)
+       |),
+       |scored AS (
+       |  SELECT e.event_id, e.event_type, e.value, s.sc AS score
+       |  FROM events e ASOF JOIN raw s
+       |    ON e.event_type = s.et AND e.value >= s.lo
+       |),
+       |cuts AS (
+       |  SELECT event_type, ${r6("QUANTILE_CONT(score, 0.95)")} AS if_cut
+       |  FROM scored GROUP BY event_type
+       |)
+       |SELECT sc.event_id, sc.event_type, sc.value, ${r6("sc.score")} AS score
+       |FROM scored sc JOIN cuts c ON sc.event_type = c.event_type
+       |WHERE sc.score > c.if_cut
+       |ORDER BY sc.event_id""".stripMargin
+  }
+
+  /** a3's per-centroid squared distance replayed as an explicit
+    * 64-term left-associated sum (the UDF's loop order), centroid
+    * coordinates as literals; argmin with first-wins tie-break via a
+    * CASE ladder over LEAST. */
+  private def a3OracleSql(s: SparkSession, dir: String): String = {
+    val centers = a3Centers(s, dir)
+    val dExprs = centers.zipWithIndex.map { case (c, ci) =>
+      val terms = c.zipWithIndex.map { case (cv, i) =>
+        val e = s"(CAST(embedding[${i + 1}] AS DOUBLE) - ${dlit(cv)})"
+        s"$e * $e"
+      }
+      s"${terms.mkString(" + ")} AS d$ci"
+    }
+    val ds = centers.indices.map(i => s"d$i").mkString(", ")
+    val arms = centers.indices.map(i => s"WHEN d$i = bsq THEN $i").mkString(" ")
+    s"""WITH dd AS (
+       |  SELECT vec_id, $ds, LEAST($ds) AS bsq
+       |  FROM (SELECT vec_id, ${dExprs.mkString(",\n    ")} FROM embeddings)
+       |),
+       |sc AS (
+       |  SELECT vec_id, CASE $arms END AS cluster, SQRT(bsq) AS dist FROM dd
+       |),
+       |fence AS (SELECT ${r6("QUANTILE_CONT(dist, 0.98)")} AS f FROM sc)
+       |SELECT sc.vec_id, sc.cluster, ${r6("sc.dist")} AS dist
+       |FROM sc, fence WHERE sc.dist > fence.f
+       |ORDER BY sc.vec_id""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "a8_hist_drift" ->
