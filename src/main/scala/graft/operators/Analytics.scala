@@ -366,13 +366,25 @@ object Analytics {
     * orchestration and is used unchanged (the one counting scan that
     * decides is the e18 self-selection discipline). Both paths are
     * bit-identical — spec-pinned on tie-heavy data and every n<k edge. */
-  def q13WindowSuite(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+  def q13WindowSuite(s: SparkSession, dir: String): DataFrame =
+    q13Suite(Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        col("l_extendedprice"))
+        col("l_extendedprice")))
+
+  /** The size/cardinality-guarded dispatch between [[q13Window]] and
+    * [[q13Chunked]] (factored out of the dir-bound entry so the guard
+    * is spec-testable on synthetic frames). */
+  private[operators] def q13Suite(li: DataFrame,
+      maxGridCells: Long = 1L << 22): DataFrame = {
     val b = li.agg(count(lit(1)), min("l_extendedprice"),
-      max("l_extendedprice")).head()
-    if (b.getLong(0) < Q13ChunkThreshold) q13Window(li)
+      max("l_extendedprice"),
+      approx_count_distinct(col("l_returnflag"), rsd = 0.05)).head()
+    // below the threshold the single-sort window form wins outright;
+    // past maxGridCells the chunked form's |groups|×F driver count
+    // grid stops being bounded — and with that many groups the window
+    // form's partitionBy parallelism has no group wall anyway
+    if (b.getLong(0) < Q13ChunkThreshold ||
+        b.getLong(3) * Q13FineBuckets > maxGridCells) q13Window(li)
     else q13Chunked(li, b.getDouble(1), b.getDouble(2))
   }
 
@@ -381,6 +393,7 @@ object Analytics {
     * chunked path, so the scale path is oracle-covered, not only
     * spec-covered. */
   private val Q13ChunkThreshold = 500000L
+  private val Q13FineBuckets = 4096L
 
   /** The |groups|-parallel window form — the small-input path and the
     * chunked path's correctness oracle. */

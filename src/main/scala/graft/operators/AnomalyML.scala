@@ -229,13 +229,17 @@ object AnomalyML {
   }
 
   def cusum(df: DataFrame, keyCol: Column, idCol: Column, tsCol: Column,
-      valCol: Column, slackK: Double = 0.5, alarmH: Double = 5.0): DataFrame = {
+      valCol: Column, slackK: Double = 0.5, alarmH: Double = 5.0,
+      hintBroadcastStats: Boolean = true): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val base = df.select(keyCol.cast("string").as("key"), idCol.as("event_id"),
       tsCol.cast("long").as("secs"), valCol.cast("double").as("value"))
     val stats = cusumStats(base)
-    base.join(broadcast(stats), "key")
+    // the per-key stats table is |keys| rows — broadcast by default
+    // (the low-cardinality case), but a high-cardinality caller (the
+    // cusumChunked guard fallback) joins it unhinted and lets AQE pick
+    base.join(if (hintBroadcastStats) broadcast(stats) else stats, "key")
       .select(col("key"), col("event_id"), col("secs"), col("value"),
         col("mean"), col("sd"))
       .repartition(col("key"))
@@ -320,14 +324,23 @@ object AnomalyML {
     * (filter pushed below the repartition). */
   def cusumChunked(df: DataFrame, keyCol: Column, idCol: Column, tsCol: Column,
       valCol: Column, slackK: Double = 0.5, alarmH: Double = 5.0,
-      chunks: Int = 16): DataFrame = {
+      chunks: Int = 16, maxGridCells: Long = 1L << 22): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
     val base0 = df.select(keyCol.cast("string").as("key"), idCol.as("event_id"),
       tsCol.cast("long").as("secs"), valCol.cast("double").as("value"))
+    val b = base0.agg(min("secs"), max("secs"),
+      approx_count_distinct(col("key"), rsd = 0.05)).collect()(0)
+    // key-cardinality guard: the fixpoint's boundary table and the
+    // broadcast stats both scale with |keys| — past maxGridCells/chunks
+    // keys the sequential per-key form is the safe AND parallel plan
+    // (that many keys already fan out the per-key scan), with the
+    // stats join left to AQE instead of a forced broadcast
+    if (b.isNullAt(0) || b.getLong(2) * chunks > maxGridCells)
+      return cusum(df, keyCol, idCol, tsCol, valCol, slackK, alarmH,
+        hintBroadcastStats = false)
     val stats = cusumStats(base0)
-    val Row(minS: Long, maxS: Long) =
-      base0.agg(min("secs"), max("secs")).collect()(0)
+    val (minS, maxS) = (b.getLong(0), b.getLong(1))
     val span = math.max(1L, maxS - minS + 1)
     val base = base0.join(broadcast(stats), "key")
       .withColumn("chunk",

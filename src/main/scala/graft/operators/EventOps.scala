@@ -651,14 +651,16 @@ object EventOps {
     * scan vs 0.61 pure — the price of never hitting the |keys|
     * parallelism wall unnoticed). */
   def driftScanChunked(ev: DataFrame, w: Int = 50,
-      fineBuckets: Int = 4096, chunkRows: Long = 65536): DataFrame = {
+      fineBuckets: Int = 4096, chunkRows: Long = 65536,
+      maxGridCells: Long = 1L << 22): DataFrame = {
     val s = ev.sparkSession
     import s.implicits._
     val typed = ev.select(col("event_id").cast("long"),
         col("event_type"), col("secs").cast("long"),
         col("value").cast("double"))
       .as[(Long, String, Long, Double)]
-    val bounds = ev.agg(min("secs"), max("secs"), count(lit(1))).head()
+    val bounds = ev.agg(min("secs"), max("secs"), count(lit(1)),
+      approx_count_distinct(col("event_type"), rsd = 0.05)).head()
     if (bounds.isNullAt(0)) return driftScan(ev, w) // empty input
     // self-select (the broadcast-threshold discipline): below ~4 chunks
     // of total work the single-sort window form is strictly cheaper
@@ -667,6 +669,14 @@ object EventOps {
     // rows) rides the window form at 0.86 s total where forced
     // chunking reads 1.22 s; sf1+ takes the parallel path.
     if (bounds.getLong(2) < 4 * chunkRows) return driftScan(ev, w)
+    // key-cardinality guard: the chunk grid collects |keys|×F count
+    // cells to the driver — fine for the low-cardinality keys this
+    // path exists for, unbounded for a high-cardinality caller. Past
+    // maxGridCells the per-key window form is BOTH the safe and the
+    // fast plan (≥ maxGridCells/F keys of partitionBy parallelism —
+    // there is no key wall left to fix), so fall back to it.
+    if (bounds.getLong(3) * fineBuckets > maxGridCells)
+      return driftScan(ev, w)
     val (minS, maxS) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(maxS - minS + 1, 1L)
     val F = fineBuckets.toLong
