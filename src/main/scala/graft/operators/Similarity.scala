@@ -218,8 +218,7 @@ object Similarity {
     val cos = VectorOps.dot(col("eq"), col("ec")) / (col("qn") * col("cn"))
     val scored = cb.join(broadcast(qb), Seq("t", "bk"))
       .select(col("qid"), col("cid"), cos.as("cos"))
-      .distinct()
-    graft.plans.TopKPerGroup.perKey(scored,
+    graft.plans.TopKPerGroup.perKeyDistinct(scored,
         Seq(col("qid")), Seq(col("cos").desc, col("cid")), 10)
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
         col("rank").as("rn"))
@@ -303,14 +302,20 @@ object Similarity {
         Seq("t", "bk"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"), cos.as("cos"))
-      .distinct()
+      // cross-table duplicate pairs are NOT deduped here: a distinct()
+      // would shuffle the FULL candidate volume (sf100: ~10^9 rows,
+      // disk-fatal single-node) only to discard all but k per vector.
+      // Consumers dedup inside the bounded heaps (perKeyDistinct —
+      // duplicate pairs carry the identical (cos, cid), so ord-equal
+      // ⇒ identical row) or apply .distinct() when they truly need
+      // the distinct pair SET (knnCandidateCount).
   }
 
   /** Generic core of [[s6KnnGraph]] over any (vec_id, embedding)
     * frame: [[scoredPairs]] + the bounded-heap per-vector top-k. */
   def knnGraph(vectors: DataFrame, k: Int = 5,
       targetBucket: Int = 64): DataFrame =
-    graft.plans.TopKPerGroup.perKey(scoredPairs(vectors, targetBucket),
+    graft.plans.TopKPerGroup.perKeyDistinct(scoredPairs(vectors, targetBucket),
         Seq(col("qid")), Seq(col("cos").desc, col("cid")), k)
       .select(col("qid"), col("cid"), round(col("cos"), 6).as("cos"),
         col("rank").as("rn"))
@@ -323,6 +328,7 @@ object Similarity {
       targetBucket: Int = 64): Long =
     scoredPairs(vectors, targetBucket)
       .filter(col("qid") < col("cid"))
+      .distinct()
       .count()
 
   /** s3_ivf — IVF (inverted-file) ANN: KMeans partitions the corpus

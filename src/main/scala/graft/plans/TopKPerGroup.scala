@@ -35,7 +35,7 @@ object TopKPerGroup {
     * `rankAttr` is a constructor field so tree copies keep its exprId
     * stable (a fresh attribute per copy would break parent references). */
   case class Node(group: Seq[Expression], order: Seq[SortOrder], k: Int,
-      child: LogicalPlan,
+      child: LogicalPlan, distinctRows: Boolean = false,
       rankAttr: AttributeReference =
         AttributeReference("rank", IntegerType, nullable = false)())
       extends UnaryNode {
@@ -49,7 +49,8 @@ object TopKPerGroup {
 
   /** Physical operator; `partial` phase keeps child output (no rank). */
   case class Exec(group: Seq[Expression], order: Seq[SortOrder], k: Int,
-      partial: Boolean, rankAttr: Option[AttributeReference],
+      partial: Boolean, distinctRows: Boolean,
+      rankAttr: Option[AttributeReference],
       child: SparkPlan) extends UnaryExecNode {
 
     override def nodeName: String =
@@ -79,6 +80,7 @@ object TopKPerGroup {
       val groupExprs = group
       val orderExprs = order
       val limit = k
+      val dedup = distinctRows
       val emitRank = rankAttr.isDefined
       val childOutput = child.output
       child.execute().mapPartitions { iter =>
@@ -87,6 +89,17 @@ object TopKPerGroup {
         val ord = GenerateOrdering.generate(orderExprs, childOutput)
         // per-group bounded heap: worst kept row on top, evict on insert
         val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+        // distinctRows: reject a row ord-EQUAL to a kept row (the
+        // caller contracts that ord-equal rows are identical rows, so
+        // this is distinct() fused into the heap) — an O(k) scan per
+        // accepted insert, vs the full-volume shuffle a pre-distinct
+        // costs (s6 at sf100: ~10^9 candidate rows, disk-fatal)
+        def containsEqual(heap: java.util.PriorityQueue[UnsafeRow],
+            row: InternalRow): Boolean = {
+          val it = heap.iterator()
+          while (it.hasNext) if (ord.compare(it.next(), row) == 0) return true
+          false
+        }
         iter.foreach { row =>
           val key = keyProj(row)
           var heap = heaps.get(key)
@@ -94,10 +107,14 @@ object TopKPerGroup {
             heap = new java.util.PriorityQueue[UnsafeRow](limit + 1, ord.reversed())
             heaps.put(key.copy(), heap)
           }
-          if (heap.size < limit) heap.add(rowProj(row).copy())
-          else if (ord.compare(row, heap.peek()) < 0) {
-            heap.poll()
-            heap.add(rowProj(row).copy())
+          if (heap.size < limit) {
+            if (!dedup || !containsEqual(heap, row))
+              heap.add(rowProj(row).copy())
+          } else if (ord.compare(row, heap.peek()) < 0) {
+            if (!dedup || !containsEqual(heap, row)) {
+              heap.poll()
+              heap.add(rowProj(row).copy())
+            }
           }
         }
         // downstream operators (exchanges especially) expect UnsafeRow,
@@ -136,9 +153,11 @@ object TopKPerGroup {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case n: Node =>
         val partial = Exec(n.group, n.order, n.k, partial = true,
-          rankAttr = None, child = planLater(n.child))
+          distinctRows = n.distinctRows, rankAttr = None,
+          child = planLater(n.child))
         Exec(n.group, n.order, n.k, partial = false,
-          rankAttr = Some(n.rankAttr), child = partial) :: Nil
+          distinctRows = n.distinctRows, rankAttr = Some(n.rankAttr),
+          child = partial) :: Nil
       case _ => Nil
     }
   }
@@ -153,7 +172,21 @@ object TopKPerGroup {
     * with a 1-based `rank` column appended. Order must be deterministic
     * (break ties explicitly) for reproducible output. */
   def perKey(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column],
-      k: Int): DataFrame = {
+      k: Int): DataFrame = perKeyImpl(df, groupCols, orderCols, k, false)
+
+  /** [[perKey]] with duplicate-row elimination fused into the heaps:
+    * rows EQUAL under `orderCols` count once. Only valid when the
+    * ordering determines the whole row (ord-equal ⇒ identical row) —
+    * then it equals `df.distinct()` + [[perKey]] with the distinct's
+    * full-input shuffle deleted (candidate generators that emit the
+    * same pair from multiple LSH tables never pay to dedup the misses
+    * they were about to discard anyway). */
+  def perKeyDistinct(df: DataFrame, groupCols: Seq[Column],
+      orderCols: Seq[Column], k: Int): DataFrame =
+    perKeyImpl(df, groupCols, orderCols, k, true)
+
+  private def perKeyImpl(df: DataFrame, groupCols: Seq[Column],
+      orderCols: Seq[Column], k: Int, distinctRows: Boolean): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.Alias
     import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
     val spark = df.sparkSession
@@ -175,6 +208,6 @@ object TopKPerGroup {
       }
       case other => throw new IllegalStateException(s"expected Project, got $other")
     }
-    GraftShim.ofRows(spark, Node(group, order, k, child))
+    GraftShim.ofRows(spark, Node(group, order, k, child, distinctRows))
   }
 }

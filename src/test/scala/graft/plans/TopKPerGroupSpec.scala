@@ -98,4 +98,29 @@ class TopKPerGroupSpec extends SparkSpec {
           s"${(got -- want).size} extra, ${(want -- got).size} missing")
     }
   }
+
+  test("perKeyDistinct == distinct().perKey on duplicate-heavy pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // LSH-candidate shape: the same (q, c, score) row emitted 1-4
+    // times (different tables), scores tie-heavy across pairs
+    val rows = for {
+      q <- 0 until 40; c <- 0 until 30 if rnd.nextDouble() < 0.5
+      copies = 1 + rnd.nextInt(4)
+      score = rnd.nextInt(6).toDouble / 10
+      _ <- 0 until copies
+    } yield (q.toLong, c.toLong, score)
+    val df = rows.toDF("qid", "cid", "cos").repartition(7)
+    val order = Seq(col("cos").desc, col("cid"))
+    def keyed(d: org.apache.spark.sql.DataFrame) =
+      d.select("qid", "cid", "cos", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    val want = keyed(TopKPerGroup.perKey(df.distinct(), Seq(col("qid")), order, 5))
+    val got = keyed(TopKPerGroup.perKeyDistinct(df, Seq(col("qid")), order, 5))
+    assert(got == want)
+    // and the plain form really does keep duplicates (guards vacuity)
+    val dup = keyed(TopKPerGroup.perKey(df, Seq(col("qid")), order, 5))
+    assert(dup != want)
+  }
 }
