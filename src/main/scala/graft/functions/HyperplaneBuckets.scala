@@ -66,7 +66,16 @@ case class HyperplaneBuckets(child: Expression, bits: Int)
 
 object HyperplaneBuckets {
   val Tables8 = 16
-  val MaxBits = 12
+  // plane budget: adaptiveBits caps here, so this bounds the corpus
+  // size the bucket geometry stays linear at (bits = log2(n/64) ⇒
+  // 12 bits saturated at ~262k vectors — the sf100 sweep measured s6's
+  // decade exponent drift to ~1.3 from exactly that; 20 bits holds the
+  // 64-target bucket size to ~67M vectors per partition-of-corpus).
+  // Safe to raise: each (table, bit) plane has its own seeded stream,
+  // so existing signatures never re-deal (see `planes`), and bits only
+  // change where adaptiveBits already exceeded the old cap (n > 262k —
+  // beyond every oracle scale point).
+  val MaxBits = 20
   val Dim = 64
 
   /** Called from generated code too — keep it a plain static factory. */

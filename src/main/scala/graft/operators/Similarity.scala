@@ -277,7 +277,8 @@ object Similarity {
   private[graft] def scoredPairs(vectors: DataFrame,
       targetBucket: Int): DataFrame = {
     val e = vectors.select(col("vec_id"), col("embedding"))
-    val bits = adaptiveBits(e.count(), targetBucket)
+    val n = e.count()
+    val bits = adaptiveBits(n, targetBucket)
     // columnar bucket explode (HyperplaneBuckets + posexplode) — the
     // typed-flatMap form re-encoded the vector payload per bucket row
     // through per-element mapobjects, which dominated the whole
@@ -285,11 +286,28 @@ object Similarity {
     // reading 15.7 → 5.0 s — the standing re-based s6 figure after
     // this + the shuffle_hash + in-join scoring changes is 13.7 s
     // at sf10, from 149–298 s before the r5 rework)
+    //
+    // The shuffle_hash build side is one PARTITION of this frame, so
+    // its partition count must grow with the corpus or the hash
+    // relation outgrows a task's execution-memory share (sf100, 800k
+    // vectors: 16 tables × ~400 B/bucket-row ≈ 5 GB over the session's
+    // 32 partitions = 160 MB builds → "Can't acquire memory to build
+    // hash relation"). Size partitions for ~16 MB builds from the
+    // count we already took; both join sides repartition identically
+    // so ReuseExchange computes the explode shuffle once and the join
+    // adds no further exchange. (t, bk) keys number tables × 2^bits ≫
+    // partitions, so the hash partitioning stays balanced.
+    val spark = vectors.sparkSession
+    val defaultP = spark.sessionState.conf.numShufflePartitions
+    val estBytes = n * Tables8 * (Dim * 4L + 144L)
+    val parts = math.max(defaultP,
+      math.min(4096L, estBytes / (16L << 20) + 1L).toInt)
     val b = e.select(col("vec_id").as("id"),
         posexplode(graft.functions.HyperplaneBuckets.col(col("embedding"), bits))
           .as(Seq("t", "bk")),
         col("embedding").as("vec"),
         sqrt(VectorOps.normSq(col("embedding"))).as("nrm"))
+      .repartition(parts, col("t"), col("bk"))
     val cos = VectorOps.dot(col("eq"), col("ec")) / (col("qn") * col("cn"))
     // shuffle_hash: an equi-join keyed on (t, bk) whose build side is
     // the bucketed frame itself — hash-partition sizes are bounded by
