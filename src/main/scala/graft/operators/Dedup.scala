@@ -350,32 +350,132 @@ object Dedup {
     * drop policy (keep the superset doc) reads `a` as the contained
     * side.
     *
-    * Scale shape is exactly d2's: one inverted shingle index, hashed
-    * to longs pre-shuffle, doc-frequency-capped (Σf² bound), candidate
-    * pairs from the equi-join — never all-pairs. */
+    * Scale shape: d2's df-capped inverted index alone is NOT enough
+    * here — its candidate volume is Σf² over kept shingles, and on a
+    * low-entropy corpus every shingle's f grows with n while staying
+    * under the cap, so the full-index self-join goes quadratic long
+    * before the cap binds (measured: 2.53·10⁹ candidate rows at sf100,
+    * exponent 1.72/decade, disk-fatal at local[32]). The fix is the
+    * prefix-filter family (Sarawagi & Kirpal 2004's t-occurrence
+    * count filter; Chaudhuri et al. 2006 SSJoin; Bayardo et al. 2007;
+    * Xiao et al. 2008 PPJoin), specialized to DIRECTED containment —
+    * all three filters are provably lossless, so the DuckDB oracle
+    * (which replays the naive full join) is unchanged:
+    *  - containment ≥ minCover means A's common ≥ r, i.e. B misses at
+    *    most `na − r` of A's shingles, where r is the smallest integer
+    *    passing the final filter; `f = floor(minCover·na) ≤ r` is the
+    *    IEEE-safe lower bound used below (a wrong-side ceil would
+    *    silently DROP boundary pairs; floor only over-admits).
+    *  - prefix + count filter: index only A's first
+    *    `L = min(na, na−f+m)` shingles in GLOBAL RARITY order
+    *    (df asc, hash tie-break) — pigeonhole gives B ≥ min(m, f, 1+)
+    *    matches inside that window, so requiring `count ≥ τ` per
+    *    (a,b) kills the single-shared-shingle coincidence pairs that
+    *    dominate the candidate stream (m = [[ContainPrefixExtra]]).
+    *  - length filter: common ≤ nb, so `nb ≥ f` joins as a residual
+    *    predicate on the candidate stream.
+    * Survivors (near-dup-ish pairs only) are verified EXACTLY: each
+    * side's kept-shingle array attaches by one equi-join each and
+    * `size(array_intersect)` recomputes true common — never the
+    * full-index self-join. Candidate cost is Σ Ldf·f over kept
+    * shingles (~linear in n once rarity-prefixing bites; sf100:
+    * 2.53B → ~0.4B rows, and the verify join runs on orders of
+    * magnitude fewer pairs than the old groupBy saw). */
   def containmentPairs(docs: DataFrame, k: Int = 5,
       minCover: Double = 0.8): DataFrame = {
-    val exploded = Shingles.index(docs, k).cacheIf()
-    val kept = exploded.groupBy("g").count()
-      .filter(col("count") <= MaxShingleDf).select("g")
-    val idx = exploded.join(kept, "g").cacheIf()
-    val counted = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val x = idx.select(col("doc_id").as("a"), col("g").as("ga"))
-    val y = idx.select(col("doc_id").as("b"), col("g").as("gb"))
-    val pairs = x.join(y, col("ga") === col("gb") && col("a") =!= col("b"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("common"))
+    val (exploded, sets, cand) = containmentCandidates(docs, k, minCover)
+    val gs = transform(col("sg"), x => x.getField("g"))
     val cover = col("common") * lit(1.0) / col("na")
-    val out = pairs
-      .join(counted.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+    val out = cand
+      .join(sets.select(col("doc_id").as("a"), gs.as("ga")), "a")
+      .join(sets.select(col("doc_id").as("b"), gs.as("gb")), "b")
+      .withColumn("common",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .filter(cover >= minCover)
       .select(col("a"), col("b"), col("common"), col("na"),
         round(cover, 6).as("cover"))
       .orderBy("a", "b")
       .finishIf()
-    idx.unpersistIf()
+    sets.unpersistIf()
     exploded.unpersistIf()
     out
+  }
+
+  /** Count-filter width `m` of [[containmentPairs]]' prefix filter:
+    * A's indexed window is its `na−f+m` rarest shingles and a
+    * candidate pair must share ≥ min(m, f) of them. Larger m = fewer
+    * verify pairs but a longer prefix; 4 keeps the window ≈21% of na
+    * at the corpus' ~96-shingle docs while cutting coincidence pairs
+    * to near-zero. */
+  val ContainPrefixExtra = 4
+
+  /** Blocking stage of [[containmentPairs]] — the ONE definition of
+    * its candidate generation (rarity-ordered prefix window, count
+    * filter, length filter), shared with the PlanAudit volume guard
+    * (the editCandidates discipline). Returns (cached shingle index,
+    * cached per-doc rarity-sorted sets, surviving (a, b, na)
+    * candidates); callers unpersist both frames. */
+  private[graft] def containmentCandidates(docs: DataFrame, k: Int,
+      minCover: Double): (DataFrame, DataFrame, DataFrame) = {
+    val s = docs.sparkSession
+    // the session's shuffle.partitions (32) under-partitions the
+    // heavy stages at sf100: 5M docs / 32 = 156k per-doc struct
+    // arrays built CONCURRENTLY per collect_list task blew the 8 GB
+    // heap (the s6 hash-relation lesson — per-task state must be
+    // sized, not inherited). ~16k docs/task keeps each task's array
+    // build + sort buffers in tens of MB; the same count sizes the
+    // candidate join and pair-count agg, whose per-task sort/hash
+    // state also tracks rows/partition.
+    val nDocs = docs.count()
+    val defaultP = s.sessionState.conf.numShufflePartitions
+    val parts = math.max(defaultP,
+      math.min(4096L, nDocs / 16384L + 1L).toInt)
+    // identity at small corpora (parts == default: the implicit
+    // exchanges already partition correctly and an explicit
+    // repartition would only add exchanges — measured +0.8 s at
+    // sf0.1); sized exchanges only where the default under-partitions
+    def sized(df: DataFrame, cols: Column*): DataFrame =
+      if (parts > defaultP) df.repartition(parts, cols: _*) else df
+    val exploded = Shingles.index(docs, k).cacheIf()
+    val dfg = exploded.groupBy("g").agg(count(lit(1)).as("df_g"))
+      .filter(col("df_g") <= MaxShingleDf)
+    // one shuffle by doc_id: each doc's kept shingles, rarest first
+    // (df asc, hash tie-break — the GLOBAL order prefix filtering
+    // requires), as one sorted struct array per doc
+    val sets = sized(exploded.join(dfg, "g"), col("doc_id"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df_g"), col("g")))).as("sg"),
+        count(lit(1)).as("n_sh"))
+      .cacheIf()
+    val f = floor(lit(minCover) * col("n_sh"))
+    val prefixLen = least(col("n_sh"),
+      col("n_sh") - f + lit(ContainPrefixExtra)).cast("int")
+    val prefix = sets.select(col("doc_id").as("a"), col("n_sh").as("na"),
+        explode(slice(transform(col("sg"), x => x.getField("g")),
+          lit(1), prefixLen)).as("g"))
+    val full = sets.select(col("doc_id").as("b"), col("n_sh").as("nb"),
+        explode(transform(col("sg"), x => x.getField("g"))).as("g"))
+    val fa = floor(lit(minCover) * col("na"))
+    val tau = greatest(least(lit(ContainPrefixExtra.toLong), fa), lit(1L))
+    val cand = sized(prefix, col("g")).join(sized(full, col("g")), Seq("g"))
+      .filter(col("a") =!= col("b") && col("nb") >= fa)
+    val grouped = sized(cand, col("a"), col("b"))
+      .groupBy("a", "b", "na")
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= tau)
+      .select("a", "b", "na")
+    (exploded, sets, grouped)
+  }
+
+  /** Surviving candidate-pair count of [[containmentPairs]]' blocking
+    * stage — the quantity its scale claim is about (PlanAudit guard). */
+  private[graft] def containmentCandidateCount(docs: DataFrame,
+      k: Int = 5, minCover: Double = 0.8): Long = {
+    val (exploded, sets, cand) = containmentCandidates(docs, k, minCover)
+    val n = cand.count()
+    sets.unpersistIf()
+    exploded.unpersistIf()
+    n
   }
 
   /** d7_containment — [[containmentPairs]] on the documents table

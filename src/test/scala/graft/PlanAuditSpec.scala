@@ -169,6 +169,16 @@ class PlanAuditSpec extends SparkSpec {
       docs.select("doc_id", "text"))
     assert(simhashCand < allPairs * 5 / 100,
       s"d4 simhash banding degenerated: $simhashCand of $allPairs pairs")
+    // d7's prefix+count filter must leave FAR fewer verify pairs than
+    // the full inverted index it replaced (2.53B candidate rows at
+    // sf100 — the decade exponent-1.72 regime); its survivors are the
+    // pairs the exact array-intersect verify runs on
+    val containCand = operators.Dedup.containmentCandidateCount(
+      docs.select("doc_id", "text"))
+    // (survivors are DIRECTED pairs; the full-index volume is a<b)
+    assert(containCand < allPairs / 100 && containCand <= 2 * shingleCand,
+      s"d7 prefix filtering degenerated: $containCand survivors " +
+        s"(full-index candidates $shingleCand, all-pairs $allPairs)")
   }
 
   test("d4's MaxBucket df-cap holds on a signature-degenerate corpus") {

@@ -175,6 +175,49 @@ class Round3bOpsSpec extends SparkSpec {
     assert(head.map(_._2).distinct.length == bySource.size)
   }
 
+  test("d7_containment prefix filter is lossless at the exact cover boundary") {
+    // adversarial for the prefix/count/length filters: a low-entropy
+    // vocab (shingles collide across docs), doc lengths spanning the
+    // floor-edge na values, and a PLANTED pair sitting exactly AT the
+    // threshold — Y = X's first 8 words + noise shares exactly 4 of
+    // X's 5 shingles (cover = 0.8), so an off-by-one in the IEEE
+    // floor bound, the prefix window, or the count threshold τ drops
+    // it. Reference = driver brute-force over the same shingle sets.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+      "ii", "jj", "kk", "ll")
+    val xWords = Array.tabulate(9)(i => vocab((i * 5 + 1) % 12))
+    val base = Seq(
+      500L -> xWords.mkString(" "),
+      501L -> (xWords.take(8) :+ "zz").mkString(" "), // 4/5 of X: 0.8
+      502L -> (xWords.take(7) :+ "zz").mkString(" ")) // 3/5 of X: 0.6
+    val docs = (base ++ (0 until 120).map { i =>
+      val len = 3 + rnd.nextInt(38)
+      i.toLong -> Array.fill(len)(vocab(rnd.nextInt(12))).mkString(" ")
+    }).toDF("doc_id", "text")
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length <= 5) Set(w.mkString(" "))
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val sh = docs.collect().map(r => r.getLong(0) -> shingles(r.getString(1)))
+    val df = sh.flatMap(_._2).groupBy(identity).map { case (g, o) => g -> o.size }
+    val kept = sh.map { case (id, s) => id -> s.filter(df(_) <= Dedup.MaxShingleDf) }
+    val expect = (for {
+      (a, sa) <- kept.toSeq; (b, sb) <- kept.toSeq
+      if a != b && sa.nonEmpty
+      common = (sa & sb).size
+      if common.toDouble / sa.size >= 0.8
+    } yield (a, b) -> ((common.toLong, sa.size.toLong))).toMap
+    val got = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(expect.contains((501L, 500L)), "planted boundary pair missing from reference")
+    assert(!expect.contains((502L, 500L)), "sub-threshold control leaked into reference")
+    assert(got == expect,
+      s"${(got.keySet -- expect.keySet).size} extra, ${(expect.keySet -- got.keySet).size} missing of ${expect.size}")
+  }
+
   test("d7_containment matches a driver-side shingle recompute and is genuinely asymmetric") {
     val docs = graft.Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1)))
