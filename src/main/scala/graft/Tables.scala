@@ -50,4 +50,18 @@ object Tables {
     * tiny shuffle that buys full-cluster fan-out. */
   def spread(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
+
+  /** Cheap identity key for memoized per-dir model fits (a1/a3/s3/s4/
+    * a7): dir plus the table's parquet file names, sizes, and mtimes.
+    * A long-lived JVM that sees the SAME path regenerated gets a fresh
+    * fit instead of silently replaying a stale model (ADVICE r6). */
+  def fingerprint(dir: String, name: String): String = {
+    val f = new java.io.File(s"$dir/$name.parquet")
+    val parts =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName)
+          .map(p => s"${p.getName}:${p.length}:${p.lastModified}")
+      else Array(s"${f.getName}:${f.length}:${f.lastModified}")
+    s"$dir/$name.parquet|${parts.mkString(",")}"
+  }
 }

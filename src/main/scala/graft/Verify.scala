@@ -45,9 +45,12 @@ object Verify {
     // literal-embedding oracles (a1/a3) fit their model against THIS
     // sfDir at dump time — a fit failure must not zero the whole round,
     // so they degrade to absent entries (driver records rows-only)
+    // NonFatal only (ADVICE r6): an OutOfMemoryError/LinkageError here
+    // must abort the dump loudly, not silently degrade the round to
+    // rows-only
     val dynamic =
       try SparkEntry.dynamicOracleSql(spark, sfDir)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] dynamic oracle build failed: ${e.getMessage}")
         Map.empty[String, String]
       }

@@ -53,17 +53,30 @@ case class ProductQuantizer(m: Int, k: Int, subDim: Int,
       d
     }
 
-  /** PQ-approximate squared norm of a coded vector. */
+  /** PQ-approximate squared norm of a coded vector. Accumulated as a
+    * left-fold of PER-SUBSPACE partial sums (not one flat chain): the
+    * partial ‖c_sc‖² is a pure function of the codebook, so the
+    * literal-embedding oracle can precompute it per (s, c) with this
+    * exact inner loop and replay the outer 8-term sum in SQL
+    * bit-for-bit — a flat 64-term chain has no such decomposition. */
   def normSq(code: Array[Byte]): Double = {
     var n = 0.0
     var s = 0
     while (s < m) {
-      val ctr = codebooks(s)(code(s) & 0xff)
-      var i = 0
-      while (i < subDim) { n += ctr(i) * ctr(i); i += 1 }
+      n += centroidNormSq(s, code(s) & 0xff)
       s += 1
     }
     n
+  }
+
+  /** ‖codebooks(s)(c)‖² with the fixed inner-loop order [[normSq]]'s
+    * SQL replay depends on. */
+  def centroidNormSq(s: Int, c: Int): Double = {
+    val ctr = codebooks(s)(c)
+    var p = 0.0
+    var i = 0
+    while (i < subDim) { p += ctr(i) * ctr(i); i += 1 }
+    p
   }
 
   def approxDot(table: Array[Array[Double]], code: Array[Byte]): Double = {

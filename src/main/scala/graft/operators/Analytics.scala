@@ -385,7 +385,8 @@ object Analytics {
     // form's partitionBy parallelism has no group wall anyway
     if (b.getLong(0) < Q13ChunkThreshold ||
         b.getLong(3) * Q13FineBuckets > maxGridCells) q13Window(li)
-    else q13Chunked(li, b.getDouble(1), b.getDouble(2))
+    else q13Chunked(li, b.getDouble(1), b.getDouble(2),
+      fineBuckets = Q13FineBuckets.toInt)
   }
 
   /** 500k keeps sf0.01 (and the spec SF) on the window form while the
@@ -393,6 +394,11 @@ object Analytics {
     * chunked path, so the scale path is oracle-covered, not only
     * spec-covered. */
   private val Q13ChunkThreshold = 500000L
+
+  /** The ONE fine-bucket count: [[q13Suite]] passes it to
+    * [[q13Chunked]] explicitly, so the cardinality guard always sizes
+    * its grid cap against the bucket count actually used (ADVICE r6 —
+    * previously a second literal default could drift silently). */
   private val Q13FineBuckets = 4096L
 
   /** The |groups|-parallel window form — the small-input path and the
@@ -432,7 +438,7 @@ object Analytics {
     * orderBy + scans, which both forms pay and a cluster divides by
     * its executor count (the window form's 3-task sort it cannot). */
   private[operators] def q13Chunked(li: DataFrame, minP: Double,
-      maxP: Double, fineBuckets: Int = 4096): DataFrame = {
+      maxP: Double, fineBuckets: Int = Q13FineBuckets.toInt): DataFrame = {
     val s = li.sparkSession
     import s.implicits._
     val span = maxP - minP

@@ -64,7 +64,7 @@ object AnomalyML {
     new scala.collection.concurrent.TrieMap[String, Map[String, GraftIsolationForest.Step1]]
 
   def a1Forests(s: SparkSession, dir: String): Map[String, GraftIsolationForest.Step1] =
-    a1Cache.getOrElseUpdate(dir, {
+    a1Cache.getOrElseUpdate(Tables.fingerprint(dir, "events"), {
       val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
       val minCount = ev.groupBy("event_type").count()
         .agg(min("count")).collect()(0).getLong(0)
@@ -135,7 +135,7 @@ object AnomalyML {
     new scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]
 
   def a3Centers(s: SparkSession, dir: String): Array[Array[Double]] =
-    a3Cache.getOrElseUpdate(dir, {
+    a3Cache.getOrElseUpdate(Tables.fingerprint(dir, "embeddings"), {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val e = Tables.spread(s, Tables.embeddings(s, dir))
@@ -729,22 +729,43 @@ object AnomalyML {
     * engine-specific; the spec pins a planted off-subspace outlier to
     * the top error, near-zero error for in-subspace rows, and the
     * flag-fraction contract. */
-  def pcaOutlier(e: DataFrame, k: Int = 8,
-      contamination: Double = 0.05): DataFrame = {
+  /** The (μ, V) fit of [[pcaOutlier]] — mean vector plus the d×k
+    * column-major principal axes (MLlib PCA: deterministic
+    * eigendecomposition, no seed). */
+  def pcaFit(e: DataFrame, k: Int): (Array[Double], Array[Double]) = {
     import org.apache.spark.ml.feature.PCA
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.stat.Summarizer
-    import org.apache.spark.ml.linalg.{DenseVector, Vector}
-    val s = e.sparkSession
-    val vecs = e.select(col("vec_id"),
-      array_to_vector(col("embedding")).as("features")).cacheIf()
+    import org.apache.spark.ml.linalg.Vector
+    val vecs = e.select(array_to_vector(col("embedding")).as("features"))
+      .cacheIf()
     val mean = vecs.select(Summarizer.mean(col("features")))
       .first().getAs[Vector](0).toArray
     val pc = new PCA().setK(k).setInputCol("features").setOutputCol("pc")
       .fit(vecs).pc // d×k, column-major
+    vecs.unpersistIf()
+    (mean, pc.values)
+  }
+
+  /** Memoized per-dir PCA model, shared by [[a7PcaOutlier]] and the
+    * literal-embedding oracle builder ([[dynOracle]]) — the a1/a3
+    * memo discipline (dir + data fingerprint key). */
+  private val a7Cache =
+    new scala.collection.concurrent.TrieMap[String, (Array[Double], Array[Double])]
+
+  def a7Model(s: SparkSession, dir: String): (Array[Double], Array[Double]) =
+    a7Cache.getOrElseUpdate(Tables.fingerprint(dir, "embeddings"), {
+      pcaFit(Tables.spread(s, Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("embedding")), k = 8)
+    })
+
+  def pcaOutlier(e: DataFrame, k: Int = 8, contamination: Double = 0.05,
+      preFit: Option[(Array[Double], Array[Double])] = None): DataFrame = {
+    val s = e.sparkSession
+    val (mean, pcValues) = preFit.getOrElse(pcaFit(e, k))
     val d = mean.length
     val bcM = s.sparkContext.broadcast(mean)
-    val bcV = s.sparkContext.broadcast(pc.values)
+    val bcV = s.sparkContext.broadcast(pcValues)
     val errUdf = udf((v: Seq[Float]) => {
       val m = bcM.value
       val pv = bcV.value
@@ -767,7 +788,11 @@ object AnomalyML {
     })
     val scored = e.select(col("vec_id"), col("embedding"))
       .withColumn("err", errUdf(col("embedding"))).cacheIf()
-    val cut = scored.agg(Pct.of(s, "err", 1.0 - contamination))
+    // cut rounded to 6 dp (the a1 discipline): both engines' exact-
+    // percentile interpolation can differ in the last ulp, and the cut
+    // sits in a FILTER — rounding makes the cut engine-stable, which
+    // is what lets a7 carry a literal-embedding DuckDB oracle (r7)
+    val cut = scored.agg(round(Pct.of(s, "err", 1.0 - contamination), 6))
       .first().getDouble(0)
     val out = scored
       .filter(col("err") > cut)
@@ -775,14 +800,14 @@ object AnomalyML {
       .orderBy("vec_id")
       .finishIf()
     scored.unpersistIf()
-    vecs.unpersistIf()
     out
   }
 
   /** a7_pca_outlier — [[pcaOutlier]] on the embeddings table. */
   def a7PcaOutlier(s: SparkSession, dir: String): DataFrame =
     pcaOutlier(Tables.spread(s, Tables.embeddings(s, dir))
-      .select(col("vec_id"), col("embedding")))
+      .select(col("vec_id"), col("embedding")),
+      preFit = Some(a7Model(s, dir)))
 
   /** Literal-embedding DuckDB oracles for the model-fit operators: the
     * deterministic fitted model (a1's compiled per-key step functions,
@@ -796,17 +821,45 @@ object AnomalyML {
     * form, restored bit-exact by DuckDB's strtod. */
   def dynOracle(s: SparkSession, dir: String): Map[String, String] = Map(
     "a1_isoforest" -> a1OracleSql(s, dir),
-    "a3_kmeans_outlier" -> a3OracleSql(s, dir))
+    "a3_kmeans_outlier" -> a3OracleSql(s, dir),
+    "a7_pca_outlier" -> a7OracleSql(s, dir))
 
-  private def dlit(d: Double): String =
-    if (d == Double.PositiveInfinity) "'infinity'::DOUBLE"
-    else if (d == Double.NegativeInfinity) "'-infinity'::DOUBLE"
-    else d.toString
+  import OracleLit.{dlit, r6}
 
-  /** Rounds a double expression to 6 dp exactly as Spark's round()
-    * does (decimal half-up over the shortest string form). */
-  private def r6(e: String): String =
-    s"COALESCE(CAST(TRY_CAST(CAST($e AS VARCHAR) AS DECIMAL(28,6)) AS DOUBLE), $e)"
+  /** a7's reconstruction error replayed layer by layer: the centered
+    * coordinates xcᵢ = emb[i] − μᵢ as named columns (so each is
+    * computed once, like the UDF's xc array), then ‖xc‖² and the k
+    * per-component projections pⱼ = Σᵢ Vᵢⱼ·xcᵢ as left-associated
+    * chains in the UDF's loop order, err = max(tot − Σ pⱼ², 0), and
+    * the 6-dp-rounded percentile cut + filter — all independently
+    * evaluated by DuckDB against the literal (μ, V) model. */
+  private def a7OracleSql(s: SparkSession, dir: String): String = {
+    val (mean, pv) = a7Model(s, dir)
+    val d = mean.length
+    val k = pv.length / d
+    val xcs = mean.zipWithIndex.map { case (m, i) =>
+      s"(CAST(embedding[${i + 1}] AS DOUBLE) - ${dlit(m)}) AS x$i"
+    }
+    val tot = (0 until d).map(i => s"x$i * x$i").mkString(" + ")
+    val pjs = (0 until k).map { j =>
+      (0 until d).map(i => s"${dlit(pv(j * d + i))} * x$i")
+        .mkString(" + ") + s" AS p$j"
+    }
+    val proj = (0 until k).map(j => s"p$j * p$j").mkString(" + ")
+    s"""WITH xc AS (
+       |  SELECT vec_id, ${xcs.mkString(",\n    ")} FROM embeddings
+       |),
+       |pr AS (
+       |  SELECT vec_id, $tot AS tot, ${pjs.mkString(",\n    ")} FROM xc
+       |),
+       |sc AS (
+       |  SELECT vec_id, GREATEST(tot - ($proj), 0.0) AS err FROM pr
+       |),
+       |cut AS (SELECT ${r6("QUANTILE_CONT(err, 0.95)")} AS c FROM sc)
+       |SELECT sc.vec_id, ${r6("sc.err")} AS err
+       |FROM sc, cut WHERE sc.err > cut.c
+       |ORDER BY sc.vec_id""".stripMargin
+  }
 
   /** a1's score(v) is scores[#bounds <= v] (Step1.score's binary
     * search) — in SQL: an ASOF join against the (lo = left interval

@@ -360,28 +360,44 @@ object Similarity {
     * corpus cell assignment is a narrow map, and the probe join is a
     * broadcast of (query × probed cell) against the cell-partitioned
     * corpus; recall vs s1 is spec-tested. */
+  /** Memoized per-dir coarse-quantizer fit (16×64 centroids), shared
+    * by [[s3Ivf]] and the literal-embedding oracle builder
+    * ([[dynOracle]]) so both see the SAME model within one JVM (the
+    * a1/a3 memo discipline; keyed on dir + data fingerprint so a
+    * regenerated dir refits — ADVICE r6). */
+  private val s3Cache =
+    new scala.collection.concurrent.TrieMap[String, Array[Array[Double]]]
+
+  def s3Centers(s: SparkSession, dir: String): Array[Array[Double]] =
+    s3Cache.getOrElseUpdate(Tables.fingerprint(dir, "embeddings"), {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val corpus = Tables.spread(s, Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") >= 5)
+      // the coarse quantizer trains on a bounded deterministic sample
+      // (standard IVF practice: ~100k vectors regardless of corpus
+      // size) on few partitions — tiny data, and per-iteration task
+      // overhead dominates the fit otherwise
+      val n = corpus.count()
+      val trainFrac = math.min(1.0, 100000.0 / math.max(n, 1L))
+      val train = Sampling.uniform(corpus, col("vec_id"), trainFrac)
+        .select(array_to_vector(col("embedding")).as("features"))
+        .coalesce(8).cacheIf()
+      // random init: k-means|| spends ~2 extra passes (several jobs)
+      // picking seeds — pointless for a coarse quantizer on a bounded
+      // cached sample, where 10 Lloyd iterations converge either way
+      val model = new KMeans().setK(16).setSeed(7L).setMaxIter(10)
+        .setInitMode("random").fit(train)
+      train.unpersistIf()
+      model.clusterCenters.map(_.toArray)
+    })
+
   def s3Ivf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val e = Tables.spread(s, Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding"))
     val corpus = e.filter(col("vec_id") >= 5)
-    // the coarse quantizer trains on a bounded deterministic sample
-    // (standard IVF practice: ~100k vectors regardless of corpus size)
-    // on few partitions — tiny data, and per-iteration task overhead
-    // dominates the fit otherwise
-    val n = corpus.count()
-    val trainFrac = math.min(1.0, 100000.0 / math.max(n, 1L))
-    val train = Sampling.uniform(corpus, col("vec_id"), trainFrac)
-      .select(array_to_vector(col("embedding")).as("features"))
-      .coalesce(8).cacheIf()
-    // random init: k-means|| spends ~2 extra passes (several jobs)
-    // picking seeds — pointless for a coarse quantizer on a bounded
-    // cached sample, where 10 Lloyd iterations converge either way
-    val model = new KMeans().setK(16).setSeed(7L).setMaxIter(10)
-      .setInitMode("random").fit(train)
-    train.unpersistIf()
-    val centers = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
+    val centers = s.sparkContext.broadcast(s3Centers(s, dir))
     val nearestCells = udf((v: Seq[Float], n: Int) =>
       centers.value.zipWithIndex.map { case (ctr, ci) =>
         var d = 0.0
@@ -417,15 +433,35 @@ object Similarity {
     * of model, same regime as the IF/IVF fits); encode/scan/refine are
     * distributed narrow maps + one TopKPerGroup shuffle each.
     * [rows-only]: recall vs s1 is spec-tested. */
-  def annPq(queries: DataFrame, corpus: DataFrame, k: Int = 10,
-      shortlist: Int = 50): DataFrame = {
+  /** Bounded-sample PQ codebook fit for [[annPq]] (m=8, k=16 — the
+    * 32×-compression config its scaladoc describes). */
+  def fitPq(corpus: DataFrame): ProductQuantizer = {
     val s = corpus.sparkSession
     import s.implicits._
     val n = corpus.count()
     val trainFrac = math.min(1.0, 20000.0 / math.max(n, 1L))
     val sample = Sampling.uniform(corpus, col("vec_id"), trainFrac)
       .select("embedding").as[Seq[Float]].collect().map(_.toArray)
-    val pq = ProductQuantizer.fit(sample, m = 8, k = 16, iters = 10, seed = 11L)
+    ProductQuantizer.fit(sample, m = 8, k = 16, iters = 10, seed = 11L)
+  }
+
+  /** Memoized per-dir PQ codebooks, shared by [[s4AnnPq]] and the
+    * literal-embedding oracle builder ([[dynOracle]]) — same memo
+    * discipline as [[s3Centers]]. */
+  private val s4Cache =
+    new scala.collection.concurrent.TrieMap[String, ProductQuantizer]
+
+  def s4Quantizer(s: SparkSession, dir: String): ProductQuantizer =
+    s4Cache.getOrElseUpdate(Tables.fingerprint(dir, "embeddings"), {
+      fitPq(Tables.spread(s, Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") >= 5))
+    })
+
+  def annPq(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+      shortlist: Int = 50, preFit: Option[ProductQuantizer] = None): DataFrame = {
+    val s = corpus.sparkSession
+    val pq = preFit.getOrElse(fitPq(corpus))
     val bc = s.sparkContext.broadcast(pq)
     val encodeUdf = udf((v: Seq[Float]) => bc.value.encode(v))
     val cnUdf = udf((code: Array[Byte]) => math.sqrt(bc.value.normSq(code)))
@@ -487,7 +523,151 @@ object Similarity {
   def s4AnnPq(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.spread(s, Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding"))
-    annPq(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5))
+    annPq(e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+      preFit = Some(s4Quantizer(s, dir)))
+  }
+
+  import OracleLit.{dlit, r6, sqDistChain, dotLitChain, dotColChain, normSqChain}
+
+  /** Literal-embedding DuckDB oracles for the ANN model-fit operators
+    * (the a1/a3 contract, r7): the memoized fitted model — s3's 16×64
+    * coarse centroids, s4's 8×16×8 codebooks — embeds as SQL literals;
+    * DuckDB independently replays EVERYTHING downstream of the fit:
+    * s3's probe-cell selection, corpus cell assignment, cosine, and
+    * top-k; s4's per-subspace encode, ADC table dots, approximate
+    * shortlist, exact re-rank, and top-k. Converted from [rows-only]
+    * (the recall-spec-only regime) in r7. */
+  def dynOracle(s: SparkSession, dir: String): Map[String, String] = Map(
+    "s3_ivf" -> s3OracleSql(s, dir),
+    "s4_ann_pq" -> s4OracleSql(s, dir))
+
+  /** s3's plan in SQL: query probe cells by rank over the 16 literal-
+    * centroid distances (ORDER BY d, cell — the UDF's stable sort),
+    * corpus cell = first-wins argmin (the a3 CASE ladder), then cosine
+    * (VecCosine's dot/(√na·√nb), explicit left-associated chains) over
+    * probe-matched cells and the per-query top-10. */
+  private def s3OracleSql(s: SparkSession, dir: String): String = {
+    val centers = s3Centers(s, dir)
+    val dim = centers.head.length
+    val corpusD = centers.zipWithIndex.map { case (c, ci) =>
+      s"${sqDistChain("embedding", c)} AS d$ci" }
+    val ds = centers.indices.map(i => s"d$i").mkString(", ")
+    val arms = centers.indices.map(i => s"WHEN d$i = b THEN $i").mkString(" ")
+    val qdArms = centers.zipWithIndex.map { case (c, ci) =>
+      s"SELECT qid, $ci AS cell, ${sqDistChain("embedding", c)} AS d FROM q"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 5
+       |),
+       |qd AS (
+       |  $qdArms
+       |),
+       |probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, cell) AS r
+       |    FROM qd) t
+       |  WHERE r <= 6
+       |),
+       |cells AS (
+       |  SELECT cid, ec, CASE $arms END AS cell FROM (
+       |    SELECT cid, ec, $ds, LEAST($ds) AS b FROM (
+       |      SELECT vec_id AS cid, embedding AS ec,
+       |        ${corpusD.mkString(",\n        ")}
+       |      FROM embeddings WHERE vec_id >= 5))
+       |),
+       |cand AS (
+       |  SELECT p.qid, c.cid,
+       |    (${dotColChain("q.embedding", "c.ec", dim)})
+       |      / (SQRT(${normSqChain("q.embedding", dim)})
+       |         * SQRT(${normSqChain("c.ec", dim)})) AS cos
+       |  FROM probes p JOIN q USING (qid) JOIN cells c ON p.cell = c.cell
+       |)
+       |SELECT qid, cid, ${r6("cos")} AS cos, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT qid, cid, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY qid
+       |                           ORDER BY cos DESC, cid) AS rn
+       |      FROM cand) z
+       |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+  }
+
+  /** s4's plan in SQL: per-subspace encode as first-wins argmin over
+    * the 16 literal sub-centroids; ‖code‖² via the per-(s,c) partial
+    * norms (ProductQuantizer.centroidNormSq's loop, precomputed as
+    * literals — the outer 8-term sum replays normSq's fold exactly);
+    * ADC = Σ_s CASE-ladder dot(q_s, codeword) (dotTable's chains);
+    * approximate top-`shortlist`, then the exact cosine re-rank. */
+  private def s4OracleSql(sp: SparkSession, dir: String): String = {
+    val pq = s4Quantizer(sp, dir)
+    val dim = pq.m * pq.subDim
+    val dExprs = for (s <- 0 until pq.m; c <- 0 until pq.k) yield
+      s"${sqDistChain("embedding", pq.codebooks(s)(c), s * pq.subDim)} AS d${s}_$c"
+    val bExprs = (0 until pq.m).map { s =>
+      val ds = (0 until pq.k).map(c => s"d${s}_$c").mkString(", ")
+      s"LEAST($ds) AS b$s"
+    }
+    val codeExprs = (0 until pq.m).map { s =>
+      val arms = (0 until pq.k).map(c => s"WHEN d${s}_$c = b$s THEN $c")
+        .mkString(" ")
+      s"CASE $arms END AS c$s"
+    }
+    val cnTerms = (0 until pq.m).map { s =>
+      val arms = (0 until pq.k)
+        .map(c => s"WHEN $c THEN ${dlit(pq.centroidNormSq(s, c))}")
+        .mkString(" ")
+      s"CASE c$s $arms END"
+    }.mkString(" + ")
+    val adcTerms = (0 until pq.m).map { s =>
+      val arms = (0 until pq.k).map { c =>
+        s"WHEN $c THEN ${dotLitChain("q.eq", pq.codebooks(s)(c), s * pq.subDim)}"
+      }.mkString(" ")
+      s"CASE e.c$s $arms END"
+    }.mkString("\n      + ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS eq,
+       |    SQRT(${normSqChain("embedding", dim)}) AS qn
+       |  FROM embeddings WHERE vec_id < 5
+       |),
+       |enc AS (
+       |  SELECT cid, ${codeExprs.mkString(",\n    ")} FROM (
+       |    SELECT cid, ${(0 until pq.m).flatMap(s =>
+                (0 until pq.k).map(c => s"d${s}_$c")).mkString(", ")},
+       |      ${bExprs.mkString(",\n      ")}
+       |    FROM (
+       |      SELECT vec_id AS cid,
+       |        ${dExprs.mkString(",\n        ")}
+       |      FROM embeddings WHERE vec_id >= 5))
+       |),
+       |sc AS (
+       |  SELECT cid, ${(0 until pq.m).map(s => s"c$s").mkString(", ")},
+       |    SQRT($cnTerms) AS cn_pq
+       |  FROM enc
+       |),
+       |approx AS (
+       |  SELECT q.qid, e.cid, q.eq, q.qn,
+       |    ($adcTerms) / (q.qn * e.cn_pq) AS acos
+       |  FROM sc e CROSS JOIN q
+       |),
+       |short AS (
+       |  SELECT qid, cid, eq, qn FROM (
+       |    SELECT qid, cid, eq, qn,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |                         ORDER BY acos DESC, cid) AS r
+       |    FROM approx) t
+       |  WHERE r <= 50
+       |),
+       |exact AS (
+       |  SELECT s.qid, s.cid,
+       |    (${dotColChain("s.eq", "e.embedding", dim)})
+       |      / (s.qn * SQRT(${normSqChain("e.embedding", dim)})) AS cos
+       |  FROM short s JOIN embeddings e ON e.vec_id = s.cid
+       |)
+       |SELECT qid, cid, ${r6("cos")} AS cos, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT qid, cid, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY qid
+       |                           ORDER BY cos DESC, cid) AS rn
+       |      FROM exact) z
+       |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(

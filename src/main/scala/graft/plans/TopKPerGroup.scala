@@ -97,7 +97,23 @@ object TopKPerGroup {
         def containsEqual(heap: java.util.PriorityQueue[UnsafeRow],
             row: InternalRow): Boolean = {
           val it = heap.iterator()
-          while (it.hasNext) if (ord.compare(it.next(), row) == 0) return true
+          while (it.hasNext) {
+            val kept = it.next()
+            if (ord.compare(kept, row) == 0) {
+              // enforce the caller's contract on every hit: ord-equal
+              // ⇒ identical row (byte-compare is safe — UnsafeWriter
+              // normalizes NaN/-0.0). A non-determining order would
+              // otherwise silently DROP distinct rows (VERDICT r6);
+              // fail loudly instead.
+              if (kept != rowProj(row))
+                throw new IllegalStateException(
+                  "perKeyDistinct: ordering does not determine the row — " +
+                    "two rows compare ord-equal but differ in other " +
+                    "columns; add the remaining columns to orderCols " +
+                    "or use distinct() + perKey")
+              return true
+            }
+          }
           false
         }
         iter.foreach { row =>

@@ -123,4 +123,29 @@ class TopKPerGroupSpec extends SparkSpec {
     val dup = keyed(TopKPerGroup.perKey(df, Seq(col("qid")), order, 5))
     assert(dup != want)
   }
+
+  test("perKeyDistinct fails loudly on a non-determining order") {
+    import spark.implicits._
+    // adversarial: two rows ord-equal under (cos, cid) but differing
+    // in a payload column the order does not cover — the r6-era code
+    // silently dropped the second row; the guard must throw instead
+    val df = Seq(
+      (1L, 10L, 0.5, "a"),
+      (1L, 10L, 0.5, "b"),
+      (1L, 11L, 0.4, "c")
+    ).toDF("qid", "cid", "cos", "payload").repartition(1)
+    val ex = intercept[Exception] {
+      TopKPerGroup.perKeyDistinct(df, Seq(col("qid")),
+        Seq(col("cos").desc, col("cid")), 5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("ordering does not determine")),
+      s"unexpected failure: $ex")
+    // the same rows pass once the payload column joins the order
+    val ok = TopKPerGroup.perKeyDistinct(df, Seq(col("qid")),
+      Seq(col("cos").desc, col("cid"), col("payload")), 5).collect()
+    assert(ok.length == 3)
+  }
 }
