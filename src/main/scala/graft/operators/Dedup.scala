@@ -171,33 +171,30 @@ object Dedup {
     * width, `minJac` the emission threshold. */
   def ngramJaccard(docs: DataFrame, k: Int = 5,
       minJac: Double = 0.5): DataFrame = {
-    // typed-flatMap shingle index (Shingles.index: ~6× the HOF form);
-    // cached because it feeds both the doc-frequency count and the
-    // index join — uncached, the shingling would run twice
-    val exploded = Shingles.index(docs, k).cacheIf()
-    // doc-frequency cap: one map-side-combined agg, broadcast-free
-    // semi-join back (the kept-shingle set shuffles with the index)
-    val kept = exploded.groupBy("g").count()
-      .filter(col("count") <= MaxShingleDf).select("g")
-    // cached: the index is both sides of the pair self-join
-    val idx = exploded.join(kept, "g").cacheIf()
-    val counted = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val x = idx.select(col("doc_id").as("a"), col("g").as("ga"))
-    val y = idx.select(col("doc_id").as("b"), col("g").as("gb"))
-    val pairs = x.join(y, col("ga") === col("gb") && col("a") < col("b"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("common"))
+    // r7: the full inverted-index self-join (Σf² candidates under the
+    // df cap) measured exponent ~1.6/decade at sf100 (631 s, the d7
+    // disease) — replaced by d7's PROVABLY LOSSLESS rarity-prefix +
+    // count + length blocking specialized to symmetric Jaccard (see
+    // containmentCandidates: jac ≥ t ⇒ common ≥ t·na, the same bound
+    // containment uses, in both directions — so a < b keeps exactly
+    // one guaranteed orientation per qualifying pair). Survivors are
+    // verified EXACTLY by array_intersect over the kept-shingle sets;
+    // the DuckDB oracle (naive join replay) is unchanged.
+    val (exploded, sets, cand) =
+      containmentCandidates(docs, k, minJac, symmetric = true)
+    val gs = transform(col("sg"), x => x.getField("g"))
     val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
-    // materialize the (tiny: near-dup pairs) result, then release both
-    // caches so they don't accumulate across calls in a shared session
-    val out = pairs
-      .join(counted.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
-      .join(counted.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+    val out = cand
+      .join(sets.select(col("doc_id").as("a"), gs.as("ga")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("n_sh").as("nb"),
+        gs.as("gb")), "b")
+      .withColumn("common",
+        size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .filter(jac >= minJac)
       .select(col("a"), col("b"), round(jac, 6).as("jac"))
       .orderBy("a", "b")
       .finishIf()
-    idx.unpersistIf()
+    sets.unpersistIf()
     exploded.unpersistIf()
     out
   }
@@ -409,14 +406,25 @@ object Dedup {
     * to near-zero. */
   val ContainPrefixExtra = 4
 
-  /** Blocking stage of [[containmentPairs]] — the ONE definition of
-    * its candidate generation (rarity-ordered prefix window, count
-    * filter, length filter), shared with the PlanAudit volume guard
-    * (the editCandidates discipline). Returns (cached shingle index,
-    * cached per-doc rarity-sorted sets, surviving (a, b, na)
-    * candidates); callers unpersist both frames. */
+  /** Blocking stage of [[containmentPairs]] AND (since r7)
+    * [[ngramJaccard]] — the ONE definition of their candidate
+    * generation (rarity-ordered prefix window, count filter, length
+    * filter), shared with the PlanAudit volume guard (the
+    * editCandidates discipline). The shared bound is the same
+    * inequality: containment ≥ c ⇒ common ≥ c·na, and jac ≥ t ⇒
+    * common ≥ t(na+nb)/(1+t) ≥ t·na — so Jaccard-t reuses the
+    * containment-t prefix verbatim. `symmetric = true` (the Jaccard
+    * case) keeps only the a < b orientation: the prefix lemma holds
+    * in BOTH directions of a qualifying unordered pair, so one
+    * orientation is guaranteed present and the other is redundant —
+    * and adds the symmetric length filter na ≥ floor(t·nb) (jac ≥ t
+    * also forces common ≥ t·nb ≤ na; floor only over-admits).
+    * Returns (cached shingle index, cached per-doc rarity-sorted
+    * sets, surviving (a, b, na) candidates); callers unpersist both
+    * frames. */
   private[graft] def containmentCandidates(docs: DataFrame, k: Int,
-      minCover: Double): (DataFrame, DataFrame, DataFrame) = {
+      minCover: Double, symmetric: Boolean = false)
+      : (DataFrame, DataFrame, DataFrame) = {
     val s = docs.sparkSession
     // the session's shuffle.partitions (32) under-partitions the
     // heavy stages at sf100: 5M docs / 32 = 156k per-doc struct
@@ -457,8 +465,13 @@ object Dedup {
         explode(transform(col("sg"), x => x.getField("g"))).as("g"))
     val fa = floor(lit(minCover) * col("na"))
     val tau = greatest(least(lit(ContainPrefixExtra.toLong), fa), lit(1L))
+    val pairPred =
+      if (symmetric)
+        col("a") < col("b") && col("nb") >= fa &&
+          col("na") >= floor(lit(minCover) * col("nb"))
+      else col("a") =!= col("b") && col("nb") >= fa
     val cand = sized(prefix, col("g")).join(sized(full, col("g")), Seq("g"))
-      .filter(col("a") =!= col("b") && col("nb") >= fa)
+      .filter(pairPred)
     val grouped = sized(cand, col("a"), col("b"))
       .groupBy("a", "b", "na")
       .agg(count(lit(1)).as("n_hits"))
