@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftShim, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -92,15 +92,18 @@ object AnomalyML {
   def a1Isoforest(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"), col("value"))
     val forests = a1Forests(s, dir)
-    val bc = s.sparkContext.broadcast(forests)
-    val scoreUdf = udf { (t: String, v: Double) =>
-      val st = bc.value.getOrElse(t, null)
-      if (st == null) 0.5 else st.score(v)
-    }
-    // cached: the forest-scoring UDF pass is the dominant cost and
+    // native codegen step lookup over the broadcast model (r7): the
+    // old scoring UDF paid the converter layer per row on the
+    // engine's biggest table; ForestStepScore runs the same binary
+    // search allocation-free inside whole-stage codegen
+    val models = new graft.functions.StepModels(s.sparkContext.broadcast(forests))
+    val scoreCol = GraftShim.column(graft.functions.ForestStepScore(
+      GraftShim.expression(col("event_type")),
+      GraftShim.expression(col("value")), models))
+    // cached: the forest-scoring pass is the dominant cost and
     // feeds BOTH the contamination-quantile cut and the flag join —
     // uncached it runs twice (the a3 lesson, ADVICE r1)
-    val scored = ev.withColumn("score", scoreUdf(col("event_type"), col("value")))
+    val scored = ev.withColumn("score", scoreCol)
       .cacheIf()
     // cut rounded to 6 dp: both engines' exact-percentile interpolation
     // can differ in the last ulp, and the cut sits in a FILTER — rounding
@@ -159,25 +162,14 @@ object AnomalyML {
     val e = Tables.spread(s, Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding"))
       .cacheIf()
-    val centers = s.sparkContext.broadcast(a3Centers(s, dir))
-    val distUdf = udf((v: Seq[Float]) => {
-      var best = Double.MaxValue
-      var bi = -1
-      var c = 0
-      while (c < centers.value.length) {
-        val ctr = centers.value(c)
-        var d = 0.0
-        var i = 0
-        while (i < ctr.length) {
-          val diff = v(i) - ctr(i); d += diff * diff; i += 1
-        }
-        if (d < best) { best = d; bi = c }
-        c += 1
-      }
-      (bi, math.sqrt(best))
-    })
-    val scored = e.withColumn("dc", distUdf(col("embedding")))
-      .select(col("vec_id"), col("dc._1").as("cluster"), col("dc._2").as("dist"))
+    // native codegen nearest-centroid (r7): same first-wins argmin
+    // loop the scoring UDF ran, minus the per-row Seq[Float] boxing;
+    // the 10×64 centroid model rides the plan directly
+    val dc = GraftShim.column(graft.functions.NearestCentroid(
+      GraftShim.expression(col("embedding")), a3Centers(s, dir)))
+    val scored = e.withColumn("dc", dc)
+      .select(col("vec_id"), col("dc.cluster").as("cluster"),
+        col("dc.dist").as("dist"))
       .cacheIf()
     // fence at the exact 98th percentile of centroid distance (the
     // synthetic clusters are tight enough that mean+2σ flags nothing);

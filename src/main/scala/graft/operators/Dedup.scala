@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftShim, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -799,11 +799,12 @@ object Dedup {
     // single-digit Gflops; MLlib job overhead per fine cell would
     // dwarf the arithmetic).
     if (k <= 256) {
-      val centers =
-        s.sparkContext.broadcast(graft.ml.DriverKMeans.fit(sample, k, 10, 7L))
-      val nearestC = udf((v: Seq[Float]) =>
-        graft.ml.DriverKMeans.nearest(v.toArray, centers.value))
-      vecs.withColumn("cl", nearestC(col("embedding")))
+      // native codegen assignment (r7): NearestCentroidIdx mirrors
+      // DriverKMeans.nearest exactly, minus the per-row Seq boxing
+      val centers = graft.ml.DriverKMeans.fit(sample, k, 10, 7L)
+      vecs.withColumn("cl", GraftShim.column(
+        graft.functions.NearestCentroidIdx(
+          GraftShim.expression(col("embedding")), centers)))
     } else {
       val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
       val k2 = math.ceil(k.toDouble / k1).toInt
@@ -815,14 +816,9 @@ object Dedup {
           case None => Array(coarse(c))
         }
       }
-      val bc = s.sparkContext.broadcast((coarse, fine))
-      val nearestH = udf((v: Seq[Float]) => {
-        val (co, fi) = bc.value
-        val a = v.toArray
-        val c = graft.ml.DriverKMeans.nearest(a, co)
-        c * k2 + graft.ml.DriverKMeans.nearest(a, fi(c))
-      })
-      vecs.withColumn("cl", nearestH(col("embedding")))
+      vecs.withColumn("cl", GraftShim.column(
+        graft.functions.HierNearestIdx(
+          GraftShim.expression(col("embedding")), coarse, fine, k2)))
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, GraftShim, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -397,7 +397,8 @@ object Similarity {
     val e = Tables.spread(s, Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding"))
     val corpus = e.filter(col("vec_id") >= 5)
-    val centers = s.sparkContext.broadcast(s3Centers(s, dir))
+    val ctrs = s3Centers(s, dir)
+    val centers = s.sparkContext.broadcast(ctrs)
     val nearestCells = udf((v: Seq[Float], n: Int) =>
       centers.value.zipWithIndex.map { case (ctr, ci) =>
         var d = 0.0
@@ -405,8 +406,13 @@ object Similarity {
         while (i < ctr.length) { val df = v(i) - ctr(i); d += df * df; i += 1 }
         (d, ci)
       }.sortBy(_._1).take(n).map(_._2))
+    // corpus cell assignment is the n-scaled scan — native codegen
+    // argmin (stable-sort take(1) ≡ first-wins; the probe side stays
+    // a UDF: 5 rows, needs top-6 cells)
     val cells = corpus
-      .withColumn("cell", nearestCells(col("embedding"), lit(1))(0))
+      .withColumn("cell", GraftShim.column(
+        graft.functions.NearestCentroidIdx(
+          GraftShim.expression(col("embedding")), ctrs)))
       .select(col("vec_id").as("cid"), col("embedding").as("ec"), col("cell"))
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("eq"),
@@ -462,17 +468,13 @@ object Similarity {
       shortlist: Int = 50, preFit: Option[ProductQuantizer] = None): DataFrame = {
     val s = corpus.sparkSession
     val pq = preFit.getOrElse(fitPq(corpus))
-    val bc = s.sparkContext.broadcast(pq)
-    val encodeUdf = udf((v: Seq[Float]) => bc.value.encode(v))
-    val cnUdf = udf((code: Array[Byte]) => math.sqrt(bc.value.normSq(code)))
-    // Per-query ADC tables are computed ONCE driver-side and broadcast
-    // as flat primitive arrays (queries are collect-bounded by the same
-    // assumption that lets them broadcast at all). The previous form
-    // carried the table as a nested array COLUMN through the join, so
-    // every scanned pair re-materialized a boxed Seq[Seq[Double]] —
-    // ~m×k allocations per row on the hottest loop. Now the per-pair
-    // cost is one map lookup + m primitive reads. Measured at sf0.1:
-    // 0.96 s → 0.80 s min-of-3 (r5).
+    // Per-query ADC tables are computed ONCE driver-side as flat
+    // primitive arrays (queries are collect-bounded by the same
+    // assumption that lets them broadcast at all) and ride the plan
+    // as a reference object. The r5 form carried them behind a Scala
+    // UDF — r7 moves encode/norm/ADC into native codegen expressions
+    // (ModelExprs): same loops bit-for-bit, no converter-layer Seq
+    // boxing on the scan (measured min-of-6 at sf0.1: see SURVEY §9).
     val kk = pq.k
     val qtabFlat: Map[Long, Array[Double]] = queries
       .select(col("vec_id"), col("embedding")).collect().map { r =>
@@ -484,24 +486,22 @@ object Similarity {
         }
         r.getLong(0) -> flat
       }.toMap
-    val bcTabs = s.sparkContext.broadcast(qtabFlat)
-    val adcUdf = udf { (qid: Long, code: Array[Byte]) =>
-      val t = bcTabs.value(qid)
-      var d = 0.0
-      var i = 0
-      while (i < code.length) { d += t(i * kk + (code(i) & 0xff)); i += 1 }
-      d
-    }
+    val adcTabs = new graft.functions.AdcTables(qtabFlat, kk)
+    def expr(c: org.apache.spark.sql.Column) = GraftShim.expression(c)
     // the PQ scan sees ONLY the compressed representation: 8 code bytes
     // + a cached approximate norm per corpus vector
     val codes = corpus
-      .select(col("vec_id").as("cid"), encodeUdf(col("embedding")).as("code"))
-      .withColumn("cn_pq", cnUdf(col("code")))
+      .select(col("vec_id").as("cid"), GraftShim.column(
+        graft.functions.PqEncode(expr(col("embedding")), pq)).as("code"))
+      .withColumn("cn_pq", GraftShim.column(
+        graft.functions.PqCodeNorm(expr(col("code")), pq)))
     val qtabs = queries
       .select(col("vec_id").as("qid"), col("embedding").as("eq"),
         sqrt(VectorOps.normSq(col("embedding"))).as("qn"))
     val approx = codes.join(broadcast(qtabs))
-      .withColumn("acos", adcUdf(col("qid"), col("code")) / (col("qn") * col("cn_pq")))
+      .withColumn("acos", GraftShim.column(graft.functions.PqAdcDot(
+          expr(col("qid")), expr(col("code")), adcTabs))
+        / (col("qn") * col("cn_pq")))
     val short = graft.plans.TopKPerGroup.perKey(
         approx, Seq(col("qid")), Seq(col("acos").desc, col("cid")), shortlist)
       .select("qid", "cid", "eq", "qn")

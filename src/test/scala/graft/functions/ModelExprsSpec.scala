@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ml.{DriverKMeans, GraftIsolationForest, ProductQuantizer}
+
+/** The r7 UDF→Expression conversions must be BIT-IDENTICAL to the UDF
+  * formulations they replaced (same loops, same widening, same
+  * tie-breaks) — compared here element-for-element on seeded random
+  * frames, plus the loud-failure contracts on corrupt input. */
+class ModelExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(421)
+  private def vec(dim: Int): Array[Float] =
+    Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+  private lazy val vectors: Seq[(Long, Seq[Float])] =
+    (0L until 400L).map(i => i -> vec(64).toSeq)
+  private lazy val centers: Array[Array[Double]] =
+    Array.fill(10)(vec(64).map(_.toDouble))
+
+  test("NearestCentroid == the a3 scoring UDF, bit for bit") {
+    val df = vectors.toDF("vec_id", "embedding").repartition(3)
+    val ctrs = centers
+    val udfForm = udf((v: Seq[Float]) => {
+      var best = Double.MaxValue
+      var bi = -1
+      var c = 0
+      while (c < ctrs.length) {
+        val ctr = ctrs(c)
+        var d = 0.0
+        var i = 0
+        while (i < ctr.length) { val diff = v(i) - ctr(i); d += diff * diff; i += 1 }
+        if (d < best) { best = d; bi = c }
+        c += 1
+      }
+      (bi, math.sqrt(best))
+    })
+    val want = df.withColumn("dc", udfForm(col("embedding")))
+      .select(col("vec_id"), col("dc._1"), col("dc._2"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val got = df.withColumn("dc", GraftShim.column(
+        NearestCentroid(GraftShim.expression(col("embedding")), centers)))
+      .select(col("vec_id"), col("dc.cluster"), col("dc.dist"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == want)
+  }
+
+  test("NearestCentroidIdx == DriverKMeans.nearest; Hier == two-level compose") {
+    val df = vectors.toDF("vec_id", "embedding").repartition(3)
+    val wantFlat = vectors.map { case (id, v) =>
+      id -> DriverKMeans.nearest(v.toArray, centers) }.toMap
+    val gotFlat = df.withColumn("cl", GraftShim.column(
+        NearestCentroidIdx(GraftShim.expression(col("embedding")), centers)))
+      .select("vec_id", "cl").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotFlat == wantFlat)
+    val fine = Array.tabulate(centers.length)(c =>
+      Array.fill(3)(vec(64).map(_.toDouble)))
+    val k2 = 3
+    val wantHier = vectors.map { case (id, v) =>
+      val a = v.toArray
+      val c = DriverKMeans.nearest(a, centers)
+      id -> (c * k2 + DriverKMeans.nearest(a, fine(c)))
+    }.toMap
+    val gotHier = df.withColumn("cl", GraftShim.column(
+        HierNearestIdx(GraftShim.expression(col("embedding")), centers,
+          fine, k2)))
+      .select("vec_id", "cl").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gotHier == wantHier)
+  }
+
+  test("ForestStepScore == the a1 scoring UDF on a fitted model") {
+    val keys = Seq("alpha", "beta", "gamma")
+    val forests = keys.map { k =>
+      val pool = Array.fill(300)(Array(rnd.nextDouble() * 10))
+      k -> GraftIsolationForest.compile1(
+        GraftIsolationForest.fit(pool, numTrees = 20, sampleSize = 64, seed = 5L))
+    }.toMap
+    val rows = (0 until 500).map { i =>
+      (i.toLong, if (i % 7 == 0) "unmodeled" else keys(i % 3),
+        rnd.nextDouble() * 12 - 1)
+    }
+    val df = rows.toDF("id", "key", "v").repartition(3)
+    val bc = spark.sparkContext.broadcast(forests)
+    val udfForm = udf { (t: String, v: Double) =>
+      val st = bc.value.getOrElse(t, null)
+      if (st == null) 0.5 else st.score(v)
+    }
+    val want = df.withColumn("s", udfForm(col("key"), col("v")))
+      .select("id", "s").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val models = new StepModels(spark.sparkContext.broadcast(forests))
+    val got = df.withColumn("s", GraftShim.column(ForestStepScore(
+        GraftShim.expression(col("key")), GraftShim.expression(col("v")),
+        models)))
+      .select("id", "s").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want)
+    assert(want.exists(_._2 == 0.5), "unmodeled-key fallback not exercised")
+  }
+
+  test("PqEncode/PqCodeNorm/PqAdcDot == the s4 UDF trio, bit for bit") {
+    val sample = Array.fill(600)(vec(64))
+    val pq = ProductQuantizer.fit(sample, m = 8, k = 16, iters = 5, seed = 11L)
+    val df = vectors.toDF("vec_id", "embedding").repartition(3)
+    val queries = vectors.take(4)
+    val kk = pq.k
+    val qtabFlat: Map[Long, Array[Double]] = queries.map { case (id, v) =>
+      val tab = pq.dotTable(v)
+      val flat = new Array[Double](pq.m * kk)
+      var si = 0
+      while (si < pq.m) {
+        System.arraycopy(tab(si), 0, flat, si * kk, kk); si += 1
+      }
+      id -> flat
+    }.toMap
+    // UDF reference forms (the r5/r6 code verbatim)
+    val bc = spark.sparkContext.broadcast(pq)
+    val bcTabs = spark.sparkContext.broadcast(qtabFlat)
+    val encodeUdf = udf((v: Seq[Float]) => bc.value.encode(v))
+    val cnUdf = udf((code: Array[Byte]) => math.sqrt(bc.value.normSq(code)))
+    val adcUdf = udf { (qid: Long, code: Array[Byte]) =>
+      val t = bcTabs.value(qid)
+      var d = 0.0
+      var i = 0
+      while (i < code.length) { d += t(i * kk + (code(i) & 0xff)); i += 1 }
+      d
+    }
+    val qids = queries.map(_._1).toDF("qid")
+    val want = df.select(col("vec_id"), encodeUdf(col("embedding")).as("code"))
+      .withColumn("cn", cnUdf(col("code")))
+      .crossJoin(qids)
+      .withColumn("adc", adcUdf(col("qid"), col("code")))
+      .select("vec_id", "qid", "code", "cn", "adc").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Array[Byte]](2).toSeq, r.getDouble(3), r.getDouble(4)))).toMap
+    def expr(c: org.apache.spark.sql.Column) = GraftShim.expression(c)
+    val tabs = new AdcTables(qtabFlat, kk)
+    val got = df.select(col("vec_id"),
+        GraftShim.column(PqEncode(expr(col("embedding")), pq)).as("code"))
+      .withColumn("cn", GraftShim.column(PqCodeNorm(expr(col("code")), pq)))
+      .crossJoin(qids)
+      .withColumn("adc", GraftShim.column(
+        PqAdcDot(expr(col("qid")), expr(col("code")), tabs)))
+      .select("vec_id", "qid", "code", "cn", "adc").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Array[Byte]](2).toSeq, r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == want)
+  }
+
+  test("corrupt input fails loudly (null embedding, short vector)") {
+    val bad = Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    val exShort = intercept[Exception] {
+      bad.withColumn("dc", GraftShim.column(
+        NearestCentroid(GraftShim.expression(col("embedding")), centers)))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(exShort).exists(_.contains("malformed input vector")))
+    val withNull = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(1L, null))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType), nullable = true))))
+    val exNull = intercept[Exception] {
+      withNull.withColumn("cl", GraftShim.column(
+        NearestCentroidIdx(GraftShim.expression(col("embedding")), centers)))
+        .collect()
+    }
+    assert(msgs(exNull).exists(_.contains("null embedding")))
+  }
+}
