@@ -465,6 +465,15 @@ object Dedup {
         explode(transform(col("sg"), x => x.getField("g"))).as("g"))
     val fa = floor(lit(minCover) * col("na"))
     val tau = greatest(least(lit(ContainPrefixExtra.toLong), fa), lit(1L))
+    // (r7 adjudication: the PPJoin prefix×PREFIX variant — both sides
+    // indexed only on their rarity windows, Xiao et al. 2008 Lemma 1,
+    // count filter degraded to existence — was tried for the symmetric
+    // case and REVERTED: at t=0.5 the window is ~54% of each doc and
+    // rarity ordering puts the RARE shingles, which dominate Σf² under
+    // the df cap, inside every holder's prefix (pf≈f exactly where it
+    // matters), so the prefix² stream spilled ≥50 GB at sf100 where
+    // this prefix×full + τ count-filtered form completes in 133 s.
+    // Correct on the small SFs, strictly worse at scale.)
     val pairPred =
       if (symmetric)
         col("a") < col("b") && col("nb") >= fa &&
@@ -483,8 +492,10 @@ object Dedup {
   /** Surviving candidate-pair count of [[containmentPairs]]' blocking
     * stage — the quantity its scale claim is about (PlanAudit guard). */
   private[graft] def containmentCandidateCount(docs: DataFrame,
-      k: Int = 5, minCover: Double = 0.8): Long = {
-    val (exploded, sets, cand) = containmentCandidates(docs, k, minCover)
+      k: Int = 5, minCover: Double = 0.8,
+      symmetric: Boolean = false): Long = {
+    val (exploded, sets, cand) =
+      containmentCandidates(docs, k, minCover, symmetric)
     val n = cand.count()
     sets.unpersistIf()
     exploded.unpersistIf()
