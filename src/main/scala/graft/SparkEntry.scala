@@ -146,5 +146,6 @@ object SparkEntry {
     * into oracle_sql.json at dump time. The fits are memoized per dir,
     * so the SQL replays exactly the model the dumped query scored with. */
   def dynamicOracleSql(s: SparkSession, dir: String): Map[String, String] =
-    AnomalyML.dynOracle(s, dir) ++ Similarity.dynOracle(s, dir)
+    AnomalyML.dynOracle(s, dir) ++ Similarity.dynOracle(s, dir) ++
+      Dedup.dynOracle(s, dir)
 }

@@ -791,13 +791,8 @@ object Dedup {
     // regardless of n) — the dial that keeps Σ size² near-linear; a
     // fixed k would make clusters, and the within-cluster pair space,
     // grow quadratically with the corpus (the s6 r3 lesson).
-    val k = math.max(1L, math.min(math.max(4L,
-      math.min(65536L, n / targetCluster)), n)).toInt
-    val trainFrac = math.min(1.0, 100000.0 / math.max(n, 1L))
     // bounded driver sample, SORTED so the fit is layout-independent
-    val sample = Sampling.uniform(vecs, col("vec_id"), trainFrac)
-      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
-      .collect().map(_.getSeq[Float](1).toArray)
+    val (sample, k) = semSampleAndK(vecs, n, targetCluster)
     // FLAT Lloyd while k is small; HIERARCHICAL √k × √k above 256
     // cells. A flat fit/assign is n×k×d with k ∝ n — quadratic: the
     // sf100 decade measured 1187 s (exponent ~1.75 from sf10, which
@@ -809,14 +804,34 @@ object Dedup {
     // regimes). Fits run driver-side over the sample (DriverKMeans —
     // single-digit Gflops; MLlib job overhead per fine cell would
     // dwarf the arithmetic).
-    if (k <= 256) {
-      // native codegen assignment (r7): NearestCentroidIdx mirrors
-      // DriverKMeans.nearest exactly, minus the per-row Seq boxing
-      val centers = graft.ml.DriverKMeans.fit(sample, k, 10, 7L)
+    val fit = semFitFromSample(sample, k)
+    // native codegen assignment (r7): NearestCentroidIdx /
+    // HierNearestIdx mirror DriverKMeans.nearest exactly, minus the
+    // per-row Seq boxing
+    if (fit.fine == null)
       vecs.withColumn("cl", GraftShim.column(
         graft.functions.NearestCentroidIdx(
-          GraftShim.expression(col("embedding")), centers)))
-    } else {
+          GraftShim.expression(col("embedding")), fit.coarse)))
+    else
+      vecs.withColumn("cl", GraftShim.column(
+        graft.functions.HierNearestIdx(
+          GraftShim.expression(col("embedding")), fit.coarse, fit.fine,
+          fit.k2)))
+  }
+
+  /** The fitted cluster model of [[semClusters]]: flat centers when
+    * k ≤ 256 (`fine` null), else the coarse×fine hierarchy. The fit is
+    * layout-independent AND JVM-reproducible (sorted bounded sample,
+    * seeded DriverKMeans), which is what lets d11's literal-embedding
+    * oracle recompute the SAME model at dump time (r7) without a
+    * shared memo. */
+  private[graft] case class SemFit(coarse: Array[Array[Double]],
+      fine: Array[Array[Array[Double]]], k2: Int)
+
+  private[graft] def semFitFromSample(sample: Array[Array[Float]],
+      k: Int): SemFit =
+    if (k <= 256) SemFit(graft.ml.DriverKMeans.fit(sample, k, 10, 7L), null, 0)
+    else {
       val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
       val k2 = math.ceil(k.toDouble / k1).toInt
       val coarse = graft.ml.DriverKMeans.fit(sample, k1, 10, 7L)
@@ -827,10 +842,20 @@ object Dedup {
           case None => Array(coarse(c))
         }
       }
-      vecs.withColumn("cl", GraftShim.column(
-        graft.functions.HierNearestIdx(
-          GraftShim.expression(col("embedding")), coarse, fine, k2)))
+      SemFit(coarse, fine, k2)
     }
+
+  /** The sorted bounded driver sample + k of [[semClusters]] — shared
+    * with the d11 oracle builder so both derive the identical fit. */
+  private[graft] def semSampleAndK(vecs: DataFrame, n: Long,
+      targetCluster: Int): (Array[Array[Float]], Int) = {
+    val k = math.max(1L, math.min(math.max(4L,
+      math.min(65536L, n / targetCluster)), n)).toInt
+    val trainFrac = math.min(1.0, 100000.0 / math.max(n, 1L))
+    val sample = Sampling.uniform(vecs, col("vec_id"), trainFrac)
+      .select(col("vec_id"), col("embedding")).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toArray)
+    (sample, k)
   }
 
   /** Semantic dedup pairs (SemDeDup, Abbas et al. 2023): KMeans
@@ -923,6 +948,50 @@ object Dedup {
     """ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
       |       generate_subscripts(embedding, 1) AS i FROM embeddings),
       |nrm AS (SELECT vec_id, SUM(x * x) AS n2 FROM ex GROUP BY vec_id)""".stripMargin
+
+  import OracleLit.{r6, sqDistChain, dotColChain, normSqChain}
+
+  /** d11's literal-embedding DuckDB oracle (r7): the flat cluster
+    * model recomputes at dump time from the SAME deterministic
+    * (sorted-sample, seeded, layout-independent) fit the query used;
+    * DuckDB replays cell assignment (first-wins argmin over the
+    * literal centroids), the same-cell a<b pair join, VecCosine's
+    * exact dot/(√·√) arithmetic, and the UNROUNDED ≥ minCos filter —
+    * bit-stable because the SQL chains mirror the fused loop term for
+    * term. Hierarchical fits (k > 256 ⇔ n > 16k vectors — beyond
+    * every oracle scale point) degrade to absent (rows-only). */
+  def dynOracle(s: SparkSession, dir: String): Map[String, String] = {
+    val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val n = vecs.count()
+    if (n == 0L) return Map.empty
+    val (sample, k) = semSampleAndK(vecs, n, targetCluster = 64)
+    val fit = semFitFromSample(sample, k)
+    if (fit.fine != null) return Map.empty
+    val centers = fit.coarse
+    val dim = centers.head.length
+    val dExprs = centers.zipWithIndex.map { case (c, ci) =>
+      s"${sqDistChain("embedding", c)} AS d$ci" }
+    val ds = centers.indices.map(i => s"d$i").mkString(", ")
+    val arms = centers.indices.map(i => s"WHEN d$i = b THEN $i").mkString(" ")
+    Map("d11_semdedup" ->
+      s"""WITH cells AS (
+         |  SELECT vec_id, embedding, CASE $arms END AS cl FROM (
+         |    SELECT vec_id, embedding, $ds, LEAST($ds) AS b FROM (
+         |      SELECT vec_id, embedding,
+         |        ${dExprs.mkString(",\n        ")}
+         |      FROM embeddings))
+         |),
+         |sc AS (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    (${dotColChain("x.embedding", "y.embedding", dim)})
+         |      / (SQRT(${normSqChain("x.embedding", dim)})
+         |         * SQRT(${normSqChain("y.embedding", dim)})) AS cos
+         |  FROM cells x JOIN cells y
+         |    ON x.cl = y.cl AND x.vec_id < y.vec_id
+         |)
+         |SELECT a, b, ${r6("cos")} AS cos FROM sc
+         |WHERE cos >= 0.45 ORDER BY a, b""".stripMargin)
+  }
 
   val oracle: Map[String, String] = Map(
     "d10_block_dedup" ->

@@ -538,8 +538,107 @@ object Similarity {
     * shortlist, exact re-rank, and top-k. Converted from [rows-only]
     * (the recall-spec-only regime) in r7. */
   def dynOracle(s: SparkSession, dir: String): Map[String, String] = Map(
+    "s2_ann_lsh" -> s2OracleSql(s, dir),
+    "s6_knn_graph" -> s6OracleSql(s, dir),
     "s3_ivf" -> s3OracleSql(s, dir),
     "s4_ann_pq" -> s4OracleSql(s, dir))
+
+  /** Shared literal-hyperplane SQL pieces for s2/s6: per (table, bit)
+    * the bucket contribution is 2^b·[Σ plane·v ≥ 0] with the exact
+    * left-fold dot of HyperplaneBuckets.compute. */
+  private def lshBucketExpr(emb: String, t: Int, bits: Int): String = {
+    val hp = graft.functions.HyperplaneBuckets.planes
+    (0 until bits).map { b =>
+      val dot = hp(t)(b).zipWithIndex.map { case (p, i) =>
+        s"${dlit(p)} * CAST($emb[${i + 1}] AS DOUBLE)"
+      }.mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN ${1 << b} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  private def lshArms(src: String, idAs: String, vecAs: String,
+      bits: Int): String =
+    (0 until graft.functions.HyperplaneBuckets.Tables8).map { t =>
+      s"SELECT $idAs, $vecAs, nrm, $t AS t, " +
+        s"${lshBucketExpr(vecAs, t, bits)} AS bk FROM $src"
+    }.mkString("\n  UNION ALL ")
+
+  /** s6's kNN graph replayed whole from the literal planes: adaptive
+    * bits re-derived from the same corpus count the operator takes,
+    * all-vector bucket arms on both sides, same-bucket self-join with
+    * qid ≠ cid, DISTINCT (qid, cid, cos) (the perKeyDistinct
+    * contract — cross-table duplicates carry the identical double),
+    * per-vector top-5. Like s2, nothing here is data-fitted: DuckDB
+    * replays the ENTIRE operator. */
+  private def s6OracleSql(sp: SparkSession, dir: String): String = {
+    val dim = graft.functions.HyperplaneBuckets.Dim
+    val n = Tables.embeddings(sp, dir).count()
+    val bits = adaptiveBits(n, 64)
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |    SQRT(${normSqChain("embedding", dim)}) AS nrm
+       |  FROM embeddings
+       |),
+       |b AS (
+       |  ${lshArms("v", "vec_id", "embedding", bits)}
+       |),
+       |scored AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid,
+       |    (${dotColChain("q.embedding", "c.embedding", dim)})
+       |      / (q.nrm * c.nrm) AS cos
+       |  FROM b q JOIN b c ON q.t = c.t AND q.bk = c.bk
+       |  WHERE q.vec_id <> c.vec_id
+       |)
+       |SELECT qid, cid, ${r6("cos")} AS cos, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT qid, cid, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY qid
+       |                           ORDER BY cos DESC, cid) AS rn
+       |      FROM scored) z
+       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
+  /** s2's plan in SQL from the literal hyperplane model (r7): per
+    * table t, bucket = Σ_b 2^b·[dot(plane_tb, v) ≥ 0] with the exact
+    * left-fold dot (HyperplaneBuckets.compute); candidates join on
+    * (t, bucket), cross-table duplicate pairs collapse via DISTINCT
+    * (they carry the identical deterministic cosine — the
+    * perKeyDistinct contract), then the per-query top-10. The planes
+    * are seeded constants, so unlike a1/a3/s3/s4/a7 this oracle's
+    * "model" is not data-fitted at all — DuckDB replays the ENTIRE
+    * operator. */
+  private def s2OracleSql(sp: SparkSession, dir: String): String = {
+    val dim = graft.functions.HyperplaneBuckets.Dim
+    val bits = 4 // s2's fixed Bits dial
+    def arms(src: String, idAs: String, vecAs: String): String =
+      lshArms(src, idAs, vecAs, bits)
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS eq,
+       |    SQRT(${normSqChain("embedding", dim)}) AS nrm
+       |  FROM embeddings WHERE vec_id < 5
+       |),
+       |c AS (
+       |  SELECT vec_id AS cid, embedding AS ec,
+       |    SQRT(${normSqChain("embedding", dim)}) AS nrm
+       |  FROM embeddings WHERE vec_id >= 5
+       |),
+       |qb AS (
+       |  ${arms("q", "qid", "eq")}
+       |),
+       |cb AS (
+       |  ${arms("c", "cid", "ec")}
+       |),
+       |scored AS (
+       |  SELECT DISTINCT qb.qid, cb.cid,
+       |    (${dotColChain("qb.eq", "cb.ec", dim)}) / (qb.nrm * cb.nrm) AS cos
+       |  FROM cb JOIN qb ON cb.t = qb.t AND cb.bk = qb.bk
+       |)
+       |SELECT qid, cid, ${r6("cos")} AS cos, CAST(rn AS INTEGER) AS rn
+       |FROM (SELECT qid, cid, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY qid
+       |                           ORDER BY cos DESC, cid) AS rn
+       |      FROM scored) z
+       |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+  }
 
   /** s3's plan in SQL: query probe cells by rank over the 16 literal-
     * centroid distances (ORDER BY d, cell — the UDF's stable sort),
