@@ -128,7 +128,17 @@ object GenData {
         .as("o_orderpriority")), "orders", 8)
 
     val nLine = n(6000000)
-    write(s.range(nLine).select($"id".as("lid"),
+    // l_linenumber's per-order window sorts the whole table in one
+    // exchange; at sf100 (600M rows) that spill exceeds this sandbox's
+    // disk. Orders are disjoint across l_orderkey, so slicing on
+    // l_orderkey % chunks and windowing each slice in its own job
+    // yields the IDENTICAL row set (a line number only depends on rows
+    // of its own order) while peak spill drops to ~1/chunks.
+    // SPARK_GRAFT_LINEITEM_CHUNKS=8 generated sf100 here; default 1
+    // keeps the historical single-job plan.
+    val liChunks = math.max(1,
+      sys.env.get("SPARK_GRAFT_LINEITEM_CHUNKS").map(_.toInt).getOrElse(1))
+    def lineBase = s.range(nLine).select($"id".as("lid"),
       floor(u($"id", "lo") * nOrders).as("l_orderkey"),
       floor(u($"id", "lp") * nPart).as("l_partkey"),
       floor(u($"id", "ls") * nSupp).as("l_suppkey"),
@@ -143,6 +153,7 @@ object GenData {
       timestamp_seconds(lit(789004800L) +
         floor(u($"id", "lsd") * 2499).cast("long") * 86400L)
         .as("l_shipdate"))
+    def lineNumbered(slice: org.apache.spark.sql.DataFrame) = slice
       // line numbers are per-order ordinals, like the driver's data
       .withColumn("l_linenumber",
         row_number().over(org.apache.spark.sql.expressions.Window
@@ -150,7 +161,23 @@ object GenData {
       .drop("lid")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-        "l_returnflag", "l_linestatus", "l_shipdate"), "lineitem", 16)
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    if (liChunks == 1) write(lineNumbered(lineBase), "lineitem", 16)
+    else if (tables.forall(_.contains("lineitem"))) {
+      val filesPerChunk = math.max(1, 16 / liChunks)
+      for (c <- 0 until liChunks) {
+        lineNumbered(lineBase.filter($"l_orderkey" % liChunks === c))
+          .repartition(filesPerChunk).write
+          .mode(if (c == 0) SaveMode.Overwrite else SaveMode.Append)
+          .parquet(s"$out/lineitem.parquet")
+        // drop the slice's shuffle files before the next job starts:
+        // the ContextCleaner only reclaims them on GC, and 8 retained
+        // sf100 slices would re-fill the disk the slicing freed
+        System.gc()
+        println(s"[gen] lineitem chunk ${c + 1}/$liChunks done")
+      }
+      println(s"[gen] lineitem done")
+    }
 
     // ---- events: Exp(50) values, 30 uniform days of 2024-01, 10x users
     val nEvents = n(1000000)
