@@ -7,10 +7,23 @@ object Bench {
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // default: one shuffle partition per core (the sf0.1 gate
+      // protocol). The scale sweeps raise it 10x per decade above sf10
+      // (SPARK_GRAFT_SHUFFLE_PARTITIONS=320 at sf100) so per-task sort
+      // volume stays constant — at 32 partitions an sf100 rank shuffle
+      // hands each task 19M rows (~900 MB), forcing multi-pass external
+      // sort spill that a fleet sized to the data never pays.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       // test parquet is MB-scale; split it so scans parallelize the same
-      // way a real cluster's 128 MB splits would
-      .config("spark.sql.files.maxPartitionBytes", "1m")
+      // way a real cluster's 128 MB splits would. At multi-GB scale
+      // points the 1m default degenerates (16k splits each re-parsing a
+      // 16 GB file's footer — a harness artifact, not plan cost), so the
+      // scale sweeps override it to keep ~constant tasks per scan
+      // (16m at sf10, 160m at sf100), the shape of a fleet that grows
+      // with the data.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -332,3 +332,35 @@ case class PqAdcDot(left: Expression, right: Expression,
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Broadcast Bloom-membership probe over a long key — the semi-join
+  * reduction filter (q3/q15): prune the fact's shuffle volume to the
+  * keys that might match the filtered dimension BEFORE the exchange.
+  * False positives just ride through to the real join (lossless);
+  * negatives never lie. The filter rides the plan as a broadcast (at
+  * sf100 the q3 key set is ~23M keys → ~27 MB — executor-shared, not
+  * per-task), unwrapped ONCE per codegen instance into a mutable
+  * field, so the per-row cost is the two hash probes alone. */
+case class BloomMightContainLong(child: Expression,
+    bloom: Broadcast[org.apache.spark.util.sketch.BloomFilter])
+  extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+
+  @transient private lazy val bf = bloom.value
+
+  override def nullSafeEval(k: Any): Any =
+    bf.mightContainLong(k.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfCls = classOf[org.apache.spark.util.sketch.BloomFilter].getName
+    val ref = ctx.addReferenceObj("bloomBc", bloom,
+      classOf[Broadcast[_]].getName)
+    val bfTerm = ctx.addMutableState(bfCls, "graftBloom",
+      v => s"$v = ($bfCls) $ref.value();")
+    nullSafeCodeGen(ctx, ev,
+      k => s"${ev.value} = $bfTerm.mightContainLong($k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.Pct
 import graft.Exec._
+import org.apache.spark.sql.GraftShim
 
 /** Core relational surface (SURVEY.md §2.A).
   *
@@ -77,7 +78,22 @@ object Analytics {
       .select(col("o_orderkey"), col("o_custkey"))
     val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
     val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
-    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    // Semi-join reduction: the date filter keeps ~15% of orders, so
+    // ~85% of lineitem rows can never match — without this, ALL of
+    // them ride the join exchange (measured exponent 1.29 sf10→sf100;
+    // 600M-row shuffle at sf100). A broadcast Bloom over the surviving
+    // o_orderkey set prunes the fact BEFORE the shuffle (lossless —
+    // false positives die in the real join). Spark's own
+    // InjectRuntimeFilter won't fire here: the creation side (~360 MB
+    // of keys at sf100) is far past its 10 MB creation threshold.
+    val ordKeys = ord.select(col("o_orderkey"))
+    val bloom = ordKeys.stat.bloomFilter("o_orderkey",
+      math.max(ordKeys.count(), 1L), 0.01)
+    val liPruned = li.filter(GraftShim.column(
+      graft.functions.BloomMightContainLong(
+        GraftShim.expression(col("l_orderkey")),
+        s.sparkContext.broadcast(bloom))))
+    liPruned.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
@@ -207,11 +223,11 @@ object Analytics {
       .filter(col("c_acctbal") > 9000).select(col("c_custkey"))
     val bloom = keys.stat.bloomFilter("c_custkey",
       math.max(keys.count(), 1L), 0.01)
-    val bc = s.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bc.value.mightContain(k))
     Tables.orders(s, dir)
       .select(col("o_custkey"), col("o_orderpriority"), col("o_totalprice"))
-      .filter(mightContain(col("o_custkey")))
+      .filter(GraftShim.column(graft.functions.BloomMightContainLong(
+        GraftShim.expression(col("o_custkey")),
+        s.sparkContext.broadcast(bloom))))
       .join(keys, col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
@@ -262,15 +278,29 @@ object Analytics {
     val root = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag"
     val liTable = s"graft_b_lineitem_$tag"
     val oTable = s"graft_b_orders_$tag"
+    // Bucket count scales with the BIG side's bytes (~256 MB of source
+    // parquet per bucket, floor 8, power of 2): a fixed count is the
+    // classic bucketed-layout scale bug — 8 buckets at sf100 meant 8
+    // writer tasks each sorting 75M rows and an 8-way-parallel join
+    // over 16 GB (measured exponent 1.92 sf10→sf100); sizing by data
+    // keeps both the layout write and the read-side zip at full
+    // parallelism while the gate SFs still get the historical 8.
+    val buckets = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bytes = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      val target = math.max(8L, bytes / (256L << 20))
+      java.lang.Long.highestOneBit(math.min(1024L, target) * 2 - 1).toInt
+    }
     if (!s.catalog.tableExists(liTable))
       graft.sources.Bucketing.writeBucketedAt(
         Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
-        liTable, "l_orderkey", 8, s"$root/lineitem")
+        liTable, "l_orderkey", buckets, s"$root/lineitem")
     if (!s.catalog.tableExists(oTable))
       graft.sources.Bucketing.writeBucketedAt(
         Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
-        oTable, "o_orderkey", 8, s"$root/orders")
+        oTable, "o_orderkey", buckets, s"$root/orders")
     s.table(liTable)
       .join(s.table(oTable),
         col("l_orderkey") === col("o_orderkey"))
