@@ -278,6 +278,12 @@ object Analytics {
     val root = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag"
     val liTable = s"graft_b_lineitem_$tag"
     val oTable = s"graft_b_orders_$tag"
+    // The layout is JVM-scoped scratch (pid-keyed for the concurrency
+    // soak). Reclaim it at exit, and sweep siblings whose owning JVM is
+    // dead before writing a new one — at sf100 a layout is ~10 GB and
+    // two stale ones (kill -9 skips shutdown hooks) filled the sandbox
+    // disk mid-sweep.
+    Analytics.reclaimBucketedLayouts(root)
     // Bucket count scales with the BIG side's bytes (~256 MB of source
     // parquet per bucket, floor 8, power of 2): a fixed count is the
     // classic bucketed-layout scale bug — 8 buckets at sf100 meant 8
@@ -752,4 +758,30 @@ object Analytics {
         |  (SELECT COUNT(*) AS n FROM orders GROUP BY o_custkey) t)
         |ORDER BY o_custkey""".stripMargin
   )
+
+  /** Bucketed-layout scratch hygiene for [[bucketedJoinInput]]: delete
+    * `graft_bucketed_*` siblings whose owning pid is dead (a killed
+    * JVM never ran its hook), and register ONE exit hook per root that
+    * reclaims this JVM's own layout. Never touches a dir whose pid is
+    * alive or unparseable — the concurrency-soak isolation contract. */
+  private val layoutHooks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[operators] def reclaimBucketedLayouts(root: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+      f.delete(); ()
+    }
+    val dir = new java.io.File(root).getParentFile
+    val stale = dir.listFiles((_, n) => n.startsWith("graft_bucketed_"))
+    if (stale != null) stale.foreach { f =>
+      val pidStr = f.getName.substring(f.getName.lastIndexOf('_') + 1)
+      val ownerAlive = scala.util.Try(
+        ProcessHandle.of(pidStr.toLong).map[Boolean](_.isAlive)
+          .orElse(false)).getOrElse(true)
+      if (!ownerAlive) rm(f)
+    }
+    if (layoutHooks.add(root))
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => rm(new java.io.File(root))))
+  }
 }
