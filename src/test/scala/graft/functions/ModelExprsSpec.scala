@@ -177,4 +177,36 @@ class ModelExprsSpec extends SparkSpec {
     }
     assert(msgs(exNull).exists(_.contains("null embedding")))
   }
+
+  test("BloomMightContainLong == BloomFilter.mightContainLong, codegen and interpreted") {
+    val keys = (0L until 5000L).filter(_ % 3 == 0)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(keys.size, 0.01)
+    keys.foreach(bloom.putLong)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val df = (0L until 5000L).toDF("k").repartition(3)
+    val probe = GraftShim.column(
+      BloomMightContainLong(GraftShim.expression(col("k")), bc))
+    val got = df.withColumn("hit", probe)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // codegen path vs the library call directly
+    (0L until 5000L).foreach { k =>
+      assert(got(k) == bloom.mightContainLong(k), s"codegen mismatch at $k")
+    }
+    // no false negatives ever; false positives bounded well under 10x fpp
+    assert(keys.forall(got(_)))
+    val fp = (0L until 5000L).filterNot(_ % 3 == 0).count(got(_))
+    assert(fp <= 500, s"implausible false-positive count $fp")
+    // interpreted (non-codegen) path agrees
+    val row = org.apache.spark.sql.catalyst.InternalRow(42L)
+    val expr = BloomMightContainLong(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.LongType, nullable = false), bc)
+    assert(expr.eval(row) == bloom.mightContainLong(42L))
+    // null child -> null out (UnaryExpression default null intolerance)
+    val nrow = org.apache.spark.sql.catalyst.InternalRow(null)
+    val nexpr = BloomMightContainLong(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.LongType, nullable = true), bc)
+    assert(nexpr.eval(nrow) == null)
+  }
 }
