@@ -156,18 +156,29 @@ object DistributedPercentile {
       case (acc, (t, tid)) =>
         when(col("__tid") === tid, col(t.valueCol).cast("double")).otherwise(acc)
     }
-    val rLo = joined
-      .groupBy(col(groupCol), col("__tid"))
-      .agg(sum(when(valueOf < col("__vlo"), 1L).otherwise(0L)).as("r_lo"))
-      .collect()
-      .map(r => Key(r.get(0), r.getInt(1)) -> r.getLong(2)).toMap
-    val windows = joined
-      .filter(valueOf >= col("__vlo") && valueOf <= col("__vhi"))
-      .groupBy(col(groupCol), col("__tid"), valueOf.as("__v"))
+    // passes 2 and 3 fused into ONE scan: both are aggregates over the
+    // same joined shape, differing only in granularity — a 3-way
+    // bracket marker ({-1,0,1} = below/in/above window) lets one
+    // groupBy carry both. Below-window rows collapse to a single
+    // (group, tid) row whose count IS the exact floor rank (same
+    // v < vLo predicate as the separate pass: null/NaN fall to the
+    // above-window marker on both forms); in-window rows group by
+    // value exactly as before; above-window rows collapse to one row
+    // and are dropped. At sf100 this removed one of q9's three full
+    // fact scans.
+    val marker = when(valueOf < col("__vlo"), -1)
+      .when(valueOf >= col("__vlo") && valueOf <= col("__vhi"), 0)
+      .otherwise(1)
+    val fused = joined
+      .groupBy(col(groupCol), col("__tid"), marker.as("__m"),
+        when(marker === 0, valueOf).as("__v"))
       .agg(count(lit(1)).as("__c"))
       .collect()
+    val rLo = fused.filter(_.getInt(2) == -1)
+      .map(r => Key(r.get(0), r.getInt(1)) -> r.getLong(4)).toMap
+    val windows = fused.filter(_.getInt(2) == 0)
       .groupBy(r => Key(r.get(0), r.getInt(1)))
-      .view.mapValues(_.map(r => (r.getDouble(2), r.getLong(3))).sortBy(_._1).toSeq)
+      .view.mapValues(_.map(r => (r.getDouble(3), r.getLong(4))).sortBy(_._1).toSeq)
       .toMap
 
     // driver refine; coverage miss -> buffered builtin for that target
