@@ -290,4 +290,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(cand < allPairs / 2,
       s"s6 candidate volume $cand is within 2× of all-pairs ($allPairs)")
   }
+
+  test("q3's Bloom semi-join reduction filters the fact BELOW the join") {
+    val plan = SparkEntry.queries("q3_join_agg")(spark, sf)
+      .queryExecution.executedPlan
+    val filters = allNodes(plan).collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.find(
+            _.isInstanceOf[graft.functions.BloomMightContainLong]).isDefined => f
+    }
+    assert(filters.nonEmpty, "q3 must Bloom-prune lineitem before the join")
+    val sub = allNodes(filters.head)
+    assert(sub.exists {
+      case s: FileSourceScanExec =>
+        s.metadata.get("Location").exists(_.contains("lineitem"))
+      case _ => false
+    }, "the Bloom filter must sit over the lineitem scan")
+    assert(!sub.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "the Bloom filter must prune the exchange, not post-filter the join")
+  }
 }
