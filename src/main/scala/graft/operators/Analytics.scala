@@ -412,6 +412,12 @@ object Analytics {
     * is spec-testable on synthetic frames). */
   private[operators] def q13Suite(li: DataFrame,
       maxGridCells: Long = 1L << 22): DataFrame = {
+    // NOT cached, deliberately: the suite reads the 4-column fact
+    // three times (guard agg, count grid, rank pass) and the e17-style
+    // cacheIf() of the projection was tried and REVERTED — at sf100
+    // (600M rows) building the columnar cache plus the storage pool's
+    // squeeze on the rank shuffle measured 281 s cold vs 229 s for the
+    // three pruned parquet scans (measured-no-win-revert, r7 s2)
     val b = li.agg(count(lit(1)), min("l_extendedprice"),
       max("l_extendedprice"),
       approx_count_distinct(col("l_returnflag"), rsd = 0.05)).head()
