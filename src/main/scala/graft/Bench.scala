@@ -102,12 +102,19 @@ object Bench {
     if (!f.exists()) Map.empty
     else {
       val Row = """\|\s*([a-z]\w+)\s*\|\s*([0-9.]+)\s*\|""".r
-      new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        .linesIterator
-        // the gate baseline is the sf0.1 protocol section only; the
-        // sf1 reference tables below this heading must not override it
-        .takeWhile(!_.startsWith("## sf1"))
-        .collect { case Row(q, s) => q -> s.toDouble }.toMap
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .linesIterator.toSeq
+      // r8 (ADVICE r7): the gate is the ONE authoritative table under
+      // its marker heading — historical/superseded tables elsewhere in
+      // the file never feed the gate, so insertion order can't
+      // silently change baselines. Fallback (marker absent): the old
+      // last-row-wins parse of the pre-sf1 region.
+      val auth = lines.indexWhere(_.startsWith("## Gate table (authoritative"))
+      val region =
+        if (auth >= 0) lines.drop(auth + 1).takeWhile(!_.startsWith("## "))
+        else lines.takeWhile(!_.startsWith("## sf1"))
+      region.collect { case Row(q, s) => q -> s.toDouble }.toMap
     }
   }
 

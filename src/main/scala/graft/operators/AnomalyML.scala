@@ -351,11 +351,15 @@ object AnomalyML {
       rounds += 1
       require(rounds <= chunks + 1, s"CUSUM stitch failed to converge")
       val startsBc = s.sparkContext.broadcast(assumed)
-      val dirtyBc = s.sparkContext.broadcast(dirty)
-      val scanned = base
-        .filter(if (dirty == null) lit(true) else
-          udf((k: String, c: Int) => dirtyBc.value.contains((k, c)))
-            .apply(col("key"), col("chunk")))
+      // dirty-cell selection as a broadcast SEMI join (r8, VERDICT r7
+      // item 6): the dirty set is a bounded keys×chunks subset, so it
+      // rides as a tiny broadcast build side and the filter stays a
+      // relational op Catalyst can see, not an opaque UDF
+      val pruned = if (dirty == null) base else
+        base.join(broadcast(
+            (dirty.toSeq: Seq[(String, Int)]).toDF("key", "chunk")),
+          Seq("key", "chunk"), "left_semi")
+      val scanned = pruned
         .repartition(col("key"), col("chunk"))
         .sortWithinPartitions("key", "chunk", "secs", "event_id")
         .as[(String, Int, Long, Long, Double, Double, Double)]
@@ -755,31 +759,14 @@ object AnomalyML {
       preFit: Option[(Array[Double], Array[Double])] = None): DataFrame = {
     val s = e.sparkSession
     val (mean, pcValues) = preFit.getOrElse(pcaFit(e, k))
-    val d = mean.length
-    val bcM = s.sparkContext.broadcast(mean)
-    val bcV = s.sparkContext.broadcast(pcValues)
-    val errUdf = udf((v: Seq[Float]) => {
-      val m = bcM.value
-      val pv = bcV.value
-      val xc = new Array[Double](d)
-      var i = 0
-      while (i < d) { xc(i) = v(i) - m(i); i += 1 }
-      var tot = 0.0
-      i = 0
-      while (i < d) { tot += xc(i) * xc(i); i += 1 }
-      var proj = 0.0
-      var j = 0
-      while (j * d < pv.length) {
-        var p = 0.0
-        i = 0
-        while (i < d) { p += pv(j * d + i) * xc(i); i += 1 }
-        proj += p * p
-        j += 1
-      }
-      math.max(tot - proj, 0.0)
-    })
+    // codegen residual scan (r8, VERDICT r7 item 2): the last
+    // model-scoring UDF on a full-corpus scan, converted to the
+    // ModelExprs regime — same loops over columnar ArrayData, inside
+    // whole-stage codegen, bit-pinned vs the UDF form by ModelExprsSpec
     val scored = e.select(col("vec_id"), col("embedding"))
-      .withColumn("err", errUdf(col("embedding"))).cacheIf()
+      .withColumn("err", GraftShim.column(graft.functions.PcaResidual(
+        GraftShim.expression(col("embedding")), mean, pcValues)))
+      .cacheIf()
     // cut rounded to 6 dp (the a1 discipline): both engines' exact-
     // percentile interpolation can differ in the last ulp, and the cut
     // sits in a FILTER — rounding makes the cut engine-stable, which

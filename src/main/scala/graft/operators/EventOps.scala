@@ -701,7 +701,11 @@ object EventOps {
     val C = chunkRows
     val fbw = Window.partitionBy("k", "fb").orderBy("secs", "event_id")
     val ranked = typed.toDF("event_id", "k", "secs", "value")
-      .withColumn("fb", udf((sec: Long) => bucketOf(sec)).apply(col("secs")))
+      // plain integer-div arithmetic (r8): SQL `div` is long division
+      // truncating toward zero, exactly bucketOf's `/` on non-negative
+      // longs — no UDF serialization boundary for a one-op bucket
+      .withColumn("fb",
+        expr(s"cast(((secs - ${minS}L) * ${F}L) div ${span}L as int)"))
       .withColumn("rloc", row_number().over(fbw))
     val withRn = ranked.as[(Long, String, Long, Double, Int, Int)]
       .map { case (id, k, secs, v, fb, rloc) =>

@@ -150,6 +150,53 @@ class ModelExprsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("PcaResidual == the a7 scoring UDF, bit for bit (r8)") {
+    val df = vectors.toDF("vec_id", "embedding").repartition(3)
+    val d = 64
+    val mean = vec(d).map(_.toDouble)
+    val pc = vec(d * 8).map(_.toDouble) // 8 axes, column-major like MLlib
+    val udfForm = udf((v: Seq[Float]) => {
+      val xc = new Array[Double](d)
+      var i = 0
+      while (i < d) { xc(i) = v(i) - mean(i); i += 1 }
+      var tot = 0.0
+      i = 0
+      while (i < d) { tot += xc(i) * xc(i); i += 1 }
+      var proj = 0.0
+      var j = 0
+      while (j * d < pc.length) {
+        var p = 0.0
+        i = 0
+        while (i < d) { p += pc(j * d + i) * xc(i); i += 1 }
+        proj += p * p
+        j += 1
+      }
+      math.max(tot - proj, 0.0)
+    })
+    val want = df.withColumn("err", udfForm(col("embedding")))
+      .select("vec_id", "err")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = df.withColumn("err", GraftShim.column(
+        PcaResidual(GraftShim.expression(col("embedding")), mean, pc)))
+      .select("vec_id", "err")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // bit-identical, not approximately equal: same loops, same order
+    vectors.foreach { case (id, _) =>
+      assert(java.lang.Double.doubleToLongBits(got(id)) ==
+        java.lang.Double.doubleToLongBits(want(id)), s"vec $id")
+    }
+    // interpreted (non-codegen) path agrees with codegen
+    val expr = PcaResidual(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType), nullable = false),
+      mean, pc)
+    val v0 = vectors.head._2.toArray
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v0))
+    assert(expr.eval(row) == want(vectors.head._1))
+  }
+
   test("corrupt input fails loudly (null embedding, short vector)") {
     val bad = Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
     val exShort = intercept[Exception] {

@@ -59,4 +59,33 @@ class DedupApproxSpec extends SparkSpec {
       assert(h == expected && h <= 8, s"pair ($a,$b): got $h expected $expected")
     }
   }
+
+  test("SimHash60 expression == simhashPortable, bit for bit (r8)") {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the Java split(" ") edge cases the byte-level segmentation must
+    // replay: empty doc, all-space doc, leading/double/trailing spaces,
+    // multibyte UTF-8 words, single word, single space word boundaries
+    val edge = Seq("", " ", "   ", "a", " a", "a ", "a  b", "  a b ",
+      "héllo wörld", "日本語 テスト 文書", "mixed ascii ünïcode 中文 ",
+      "tab\tis not a separator", "a b c d e f g h")
+    val rnd = new scala.util.Random(87)
+    val fuzz = (1 to 200).map { _ =>
+      val words = (0 to rnd.nextInt(30)).map(_ =>
+        rnd.alphanumeric.take(rnd.nextInt(8)).mkString)
+      words.mkString(" ") + (" " * rnd.nextInt(3))
+    }
+    val corpus = graft.Tables.documents(spark, sf)
+      .select("text").collect().map(_.getString(0)).take(200)
+    val all = (edge ++ fuzz ++ corpus).zipWithIndex.map(_.swap)
+    val got = all.toDF("id", "text").repartition(4)
+      .select(col("id"), GraftShim.column(graft.functions.SimHash60(
+        GraftShim.expression(col("text")))).as("sim"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    all.foreach { case (id, text) =>
+      assert(got(id) == DedupApprox.simhashPortable(text),
+        s"mismatch on ${text.take(40).replace(' ', '␣')}…")
+    }
+  }
 }
