@@ -81,7 +81,7 @@ object StateSoak {
     def stat(q: org.apache.spark.sql.streaming.StreamingQuery): BatchStat = {
       val p = q.lastProgress
       val so = p.stateOperators(0)
-      val sst = Option(so.customMetrics.get("rocksdbTotalSSTFilesBytes"))
+      val sst = Option(so.customMetrics.get("rocksdbSstFileSize"))
         .map(_.longValue()).getOrElse(0L)
       BatchStat(p.batchDuration / 1000.0, so.numRowsTotal,
         so.memoryUsedBytes / 1048576.0, sst / 1048576.0)
