@@ -429,3 +429,40 @@ object PcaResidual {
     math.max(tot - proj, 0.0)
   }
 }
+
+/** d3's signature-estimated Jaccard — the fraction of equal positions
+  * in two equal-length MinHash signatures (`DedupApprox.estJaccard`'s
+  * exact loop over columnar ArrayData, same int-count / x.length
+  * division). Runs per CANDIDATE pair (post-banding, volume bounded by
+  * the LSH buckets), converted from a Scala UDF (r8) so the verify
+  * stage joins the rest of the pair pipeline inside whole-stage
+  * codegen instead of deserializing two 100-element Seq[Long] per
+  * pair. */
+case class MinHashEstJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    MinHashEstJaccard.compute(
+      x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.MinHashEstJaccard.compute($x, $y);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashEstJaccard {
+  def compute(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements()
+    if (y.numElements() != n) throw new IllegalArgumentException(
+      s"MinHashEstJaccard: signature lengths $n vs ${y.numElements()}")
+    var eq = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+    eq.toDouble / n
+  }
+}

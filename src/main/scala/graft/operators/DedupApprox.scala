@@ -98,11 +98,15 @@ object DedupApprox {
       .distinct()
     val sa = sigs.toDF("a", "siga")
     val sb = sigs.toDF("b", "sigb")
-    val est = udf((x: Seq[Long], y: Seq[Long]) => estJaccard(x.toArray, y.toArray))
+    // codegen position-equality count (r8): estJaccard's loop over
+    // columnar ArrayData — the verify stage stays in whole-stage
+    // codegen, no per-pair Seq[Long] deserialization
+    val est = GraftShim.column(graft.functions.MinHashEstJaccard(
+      GraftShim.expression(col("siga")), GraftShim.expression(col("sigb"))))
     // materialize the (tiny) pair list, then release the signature
     // cache — caches must not outlive the operator call (ADVICE r1)
     val out = cands.join(sa, "a").join(sb, "b")
-      .withColumn("est_jac", est(col("siga"), col("sigb")))
+      .withColumn("est_jac", est)
       .filter(col("est_jac") >= 0.5)
       .select(col("a"), col("b"), round(col("est_jac"), 6).as("est_jac"))
       .orderBy("a", "b")

@@ -310,4 +310,27 @@ class PlanAuditSpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
       "the Bloom filter must prune the exchange, not post-filter the join")
   }
+
+  test("converted scans carry zero Scala UDFs (r7/r8: codegen expressions)") {
+    // every operator whose scoring/digest/verify scan was converted to
+    // a native expression (a1/a3/s4/d11 r7; a7/d4/d3/e18/a4 r8) must
+    // STAY UDF-free — a reintroduced UDF brings back the per-row
+    // conversion layer this family measured its wins against. s3 is
+    // exempt by declared contract (its PROBE side is a 5-row UDF; the
+    // corpus scan is the codegen NearestCentroidIdx).
+    val udfFree = Seq("a1_isoforest", "a3_kmeans_outlier", "a7_pca_outlier",
+      "d3_minhash_lsh", "d4_simhash", "d11_semdedup", "s4_ann_pq",
+      "t4_fingerprint", "e18_window_drift", "a4_cusum_drift")
+    withFullPlans {
+      udfFree.foreach { q =>
+        val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        val udfs = allNodesThroughCaches(plan).flatMap(_.expressions.flatMap(
+          _.collect {
+            case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+          }))
+        assert(udfs.isEmpty,
+          s"$q plans Scala UDFs: ${udfs.map(_.udfName).distinct}")
+      }
+    }
+  }
 }

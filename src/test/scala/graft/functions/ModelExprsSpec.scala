@@ -197,6 +197,35 @@ class ModelExprsSpec extends SparkSpec {
     assert(expr.eval(row) == want(vectors.head._1))
   }
 
+  test("MinHashEstJaccard == estJaccard, bit for bit (r8)") {
+    val sigs = (0L until 200L).map { i =>
+      val base = Array.fill(100)(rnd.nextLong() & 0xffffL)
+      val other = base.clone()
+      (0 until rnd.nextInt(100)).foreach(_ =>
+        other(rnd.nextInt(100)) = rnd.nextLong() & 0xffffL)
+      (i, base.toSeq, other.toSeq)
+    }
+    val df = sigs.toDF("id", "x", "y").repartition(3)
+    val got = df.select(col("id"), GraftShim.column(MinHashEstJaccard(
+        GraftShim.expression(col("x")), GraftShim.expression(col("y")))))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    sigs.foreach { case (id, x, y) =>
+      assert(got(id) ==
+        graft.operators.DedupApprox.estJaccard(x.toArray, y.toArray), s"sig $id")
+    }
+    // length mismatch fails loudly
+    val bad = Seq((1L, Seq(1L, 2L), Seq(1L))).toDF("id", "x", "y")
+    val ex = intercept[Exception] {
+      bad.select(GraftShim.column(MinHashEstJaccard(
+        GraftShim.expression(col("x")), GraftShim.expression(col("y")))))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("signature lengths")))
+  }
+
   test("corrupt input fails loudly (null embedding, short vector)") {
     val bad = Seq((1L, Seq(1f, 2f))).toDF("vec_id", "embedding")
     val exShort = intercept[Exception] {
