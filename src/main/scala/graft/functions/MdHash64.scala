@@ -171,19 +171,40 @@ object MinGramHash {
   * and the d4 DuckDB oracle, which is unchanged. */
 case class SimHash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def nullable: Boolean = false
 
-  override def nullSafeEval(a: Any): Any =
+  // Fail loudly on null text (ADVICE r8): the UDF this replaced NPE'd in
+  // simhashPortable(null); a null-propagating expression would instead
+  // yield a null signature that the band explode silently drops —
+  // losing the document from the dedup. Same FailLoud discipline as
+  // PcaResidual / NearestCentroid.
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) throw SimHash60.nullInput()
     SimHash60.compute(a.asInstanceOf[UTF8String])
+  }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SimHash60.compute($c);")
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = c.code +
+        code"""
+           |if (${c.isNull}) throw graft.functions.SimHash60.nullInput();
+           |long ${ev.value} = graft.functions.SimHash60.compute(${c.value});
+           |""".stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object SimHash60 {
+  def nullInput(): RuntimeException =
+    new IllegalArgumentException(
+      "SimHash60: null text — corrupt input row")
+
   private val digests = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
   private val outBufs = ThreadLocal.withInitial[Array[Byte]](() =>

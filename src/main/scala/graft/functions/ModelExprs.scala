@@ -4,7 +4,7 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -139,6 +139,85 @@ object NearestCentroidIdx {
       ci += 1
     }
     best
+  }
+}
+
+/** Indices of the n squared-L2-nearest centroids in ascending distance
+  * order — s3's probe-side cell selection, replaying the UDF it
+  * replaces EXACTLY: `zipWithIndex.map(dist).sortBy(_._1).take(n)
+  * .map(_._2)` (a stable sort, so distance ties keep the lower cell
+  * index first; n > k caps at k). The probe side is ≤k rows, so the
+  * win is not time — it is the invariant this conversion completes
+  * (VERDICT r8 item 4): zero Scala UDFs anywhere in main, which
+  * PlanAuditSpec now asserts as a source-tree grep. Bit-equivalence vs
+  * the old lambda (ties included) is pinned by ModelExprsSpec. */
+case class NearestCellsIdx(child: Expression,
+    centers: Array[Array[Double]], n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) throw NearestCentroid.nullInput()
+    NearestCellsIdx.compute(a.asInstanceOf[ArrayData], centers, n)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("centers", centers, "double[][]")
+    ev.copy(
+      code = c.code +
+        code"""
+           |if (${c.isNull}) throw graft.functions.NearestCentroid.nullInput();
+           |ArrayData ${ev.value} =
+           |  graft.functions.NearestCellsIdx.compute(${c.value}, $ref, $n);
+           |""".stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCellsIdx {
+  /** Distances for all k cells, then repeated first-wins strict-min
+    * selection — identical ordering to a stable sort by (distance,
+    * index), without allocating tuples. */
+  def compute(x: ArrayData, centers: Array[Array[Double]], n: Int): ArrayData = {
+    val k = centers.length
+    val dists = new Array[Double](k)
+    var ci = 0
+    while (ci < k) {
+      val ctr = centers(ci)
+      if (x.numElements() < ctr.length) throw new IllegalArgumentException(
+        s"NearestCellsIdx: embedding dim ${x.numElements()} < centroid " +
+          s"dim ${ctr.length} — malformed input vector")
+      var d = 0.0
+      var i = 0
+      while (i < ctr.length) {
+        val df = x.getFloat(i) - ctr(i); d += df * df; i += 1
+      }
+      dists(ci) = d
+      ci += 1
+    }
+    val take = math.min(n, k)
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](k)
+    var r = 0
+    while (r < take) {
+      var bi = -1
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        if (!used(c) && dists(c) < bd) { bd = dists(c); bi = c }
+        c += 1
+      }
+      used(bi) = true
+      out(r) = bi
+      r += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

@@ -66,23 +66,43 @@ object Analytics {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  /** Memoized per-dir broadcast Bloom over q3's date-surviving
-    * o_orderkey set — built once per orders fingerprint (two eager
-    * jobs: count + bloomFilter), reused by every subsequent q3 plan
-    * construction. */
+  /** q3's orders date slice (the 1996 order year) — ONE definition used
+    * by BOTH the Bloom build and the real join (ADVICE r8): if the two
+    * predicates could drift apart, the Bloom would prune lineitem keys
+    * the real join still wants and the "lossless" pre-shuffle pruning
+    * would silently turn lossy. */
+  private def q3OrdersFiltered(s: SparkSession, dir: String) =
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+
+  /** Memoized broadcast Bloom over q3's date-surviving o_orderkey set —
+    * built once (two eager jobs: count + bloomFilter), reused by every
+    * subsequent q3 plan construction. Keyed by (applicationId, session
+    * timezone, orders fingerprint) — ADVICE r8: a Broadcast is bound to
+    * the SparkContext that created it, and the date predicate's
+    * string→timestamp cast is timezone-sensitive, so neither a restarted
+    * context nor a timezone change may reuse an entry. */
   private val q3BloomCache = new scala.collection.concurrent.TrieMap[
-    String,
+    (String, String, String),
     org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]
 
-  private def q3Bloom(s: SparkSession, dir: String) =
-    q3BloomCache.getOrElseUpdate(Tables.fingerprint(dir, "orders"), {
-      val ordKeys = Tables.orders(s, dir)
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-        .select(col("o_orderkey"))
+  private def q3Bloom(s: SparkSession, dir: String) = {
+    val key = (s.sparkContext.applicationId,
+      s.conf.get("spark.sql.session.timeZone", ""),
+      Tables.fingerprint(dir, "orders"))
+    // entries from a stopped context are unreachable under the new
+    // applicationId — destroy and drop them so the map can neither
+    // grow across restarts nor hand back a dead-context broadcast
+    q3BloomCache.keySet.filter(_._1 != key._1).foreach { k =>
+      q3BloomCache.remove(k).foreach(b => scala.util.Try(b.destroy()))
+    }
+    q3BloomCache.getOrElseUpdate(key, {
+      val ordKeys = q3OrdersFiltered(s, dir).select(col("o_orderkey"))
       s.sparkContext.broadcast(ordKeys.stat.bloomFilter("o_orderkey",
         math.max(ordKeys.count(), 1L), 0.01))
     })
+  }
 
   /** q3_join_agg — revenue by nation: lineitem⋈orders⋈customer⋈nation.
     * nation is a fixed-size dim → explicit broadcast (no shuffle for it);
@@ -90,9 +110,7 @@ object Analytics {
   def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-    val ord = Tables.orders(s, dir)
-      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val ord = q3OrdersFiltered(s, dir)
       .select(col("o_orderkey"), col("o_custkey"))
     val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
     val nat = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))

@@ -398,17 +398,11 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
     val corpus = e.filter(col("vec_id") >= 5)
     val ctrs = s3Centers(s, dir)
-    val centers = s.sparkContext.broadcast(ctrs)
-    val nearestCells = udf((v: Seq[Float], n: Int) =>
-      centers.value.zipWithIndex.map { case (ctr, ci) =>
-        var d = 0.0
-        var i = 0
-        while (i < ctr.length) { val df = v(i) - ctr(i); d += df * df; i += 1 }
-        (d, ci)
-      }.sortBy(_._1).take(n).map(_._2))
     // corpus cell assignment is the n-scaled scan — native codegen
-    // argmin (stable-sort take(1) ≡ first-wins; the probe side stays
-    // a UDF: 5 rows, needs top-6 cells)
+    // argmin (stable-sort take(1) ≡ first-wins); the probe side's
+    // top-6-cell selection is the same family's NearestCellsIdx (r9:
+    // the engine's last Scala UDF, converted — PlanAuditSpec now pins
+    // zero-UDF-registrations-in-main as a source grep)
     val cells = corpus
       .withColumn("cell", GraftShim.column(
         graft.functions.NearestCentroidIdx(
@@ -416,7 +410,8 @@ object Similarity {
       .select(col("vec_id").as("cid"), col("embedding").as("ec"), col("cell"))
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("eq"),
-        explode(nearestCells(col("embedding"), lit(6))).as("cell"))
+        explode(GraftShim.column(graft.functions.NearestCellsIdx(
+          GraftShim.expression(col("embedding")), ctrs, 6))).as("cell"))
     graft.plans.TopKPerGroup.perKey(
         cells.join(broadcast(probes), "cell")
           .withColumn("cos", VectorOps.cosine(col("eq"), col("ec"))),

@@ -57,12 +57,17 @@ object StateSoak {
 
     val cp = java.nio.file.Files.createTempDirectory("graft_soak_cp").toString
     val alarmCount = new java.util.concurrent.atomic.AtomicLong(0)
+    // foreachBatch is at-least-once (ADVICE r8): a batch replayed after
+    // the checkpoint restart re-presents the SAME batchId — count each
+    // id once, so a replay can't double-count into the exact-alarm
+    // require as a spurious failure
+    val seenBatches = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val in = MemoryStream[Reading]
     def start() = DriftDetector.detect(in.toDS())
       .writeStream
       .option("checkpointLocation", cp)
-      .foreachBatch { (ds: Dataset[DriftAlarm], _: Long) =>
-        alarmCount.addAndGet(ds.count()); ()
+      .foreachBatch { (ds: Dataset[DriftAlarm], batchId: Long) =>
+        if (seenBatches.add(batchId)) alarmCount.addAndGet(ds.count()); ()
       }
       .start()
 
@@ -127,10 +132,13 @@ object StateSoak {
     def cpBytes: Long = {
       val root = java.nio.file.Paths.get(cp)
       val acc = new java.util.concurrent.atomic.AtomicLong(0)
-      java.nio.file.Files.walk(root).forEach { p =>
+      // Files.walk holds directory handles until closed (ADVICE r8) —
+      // a RocksDB checkpoint tree is large enough to leak noticeably
+      val walk = java.nio.file.Files.walk(root)
+      try walk.forEach { p =>
         if (java.nio.file.Files.isRegularFile(p))
           acc.addAndGet(java.nio.file.Files.size(p))
-      }
+      } finally walk.close()
       acc.get()
     }
     def fmt(b: Seq[BatchStat]) = {

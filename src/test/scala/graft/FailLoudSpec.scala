@@ -57,6 +57,35 @@ class FailLoudSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("SimHash60 throws on null text instead of dropping the document (r9, ADVICE r8)") {
+    // a null-propagating signature would flow into d4's band explode
+    // and silently drop the document from the dedup — the UDF this
+    // expression replaced NPE'd instead, and the expression must too
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, "some words"), Row(2L, null)), 2), schema)
+    val ex = intercept[Exception] {
+      df.select(org.apache.spark.sql.GraftShim.column(
+          graft.functions.SimHash60(
+            org.apache.spark.sql.GraftShim.expression(col("text")))))
+        .collect()
+    }
+    def rootMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(rootMsg(ex).contains("null text"), rootMsg(ex))
+    // interpreted eval path agrees
+    val exI = intercept[IllegalArgumentException] {
+      graft.functions.SimHash60(
+        org.apache.spark.sql.catalyst.expressions.Literal(null, StringType))
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    assert(exI.getMessage.contains("null text"))
+  }
+
   test("DriverKMeans.nearest rejects a vector shorter than the centroid") {
     val centers = Array(Array.fill(64)(0.0))
     val ex = intercept[IllegalArgumentException] {

@@ -311,15 +311,14 @@ class PlanAuditSpec extends SparkSpec {
       "the Bloom filter must prune the exchange, not post-filter the join")
   }
 
-  test("converted scans carry zero Scala UDFs (r7/r8: codegen expressions)") {
+  test("converted scans carry zero Scala UDFs (r7/r8/r9: codegen expressions)") {
     // every operator whose scoring/digest/verify scan was converted to
-    // a native expression (a1/a3/s4/d11 r7; a7/d4/d3/e18/a4 r8) must
-    // STAY UDF-free — a reintroduced UDF brings back the per-row
-    // conversion layer this family measured its wins against. s3 is
-    // exempt by declared contract (its PROBE side is a 5-row UDF; the
-    // corpus scan is the codegen NearestCentroidIdx).
+    // a native expression (a1/a3/s4/d11 r7; a7/d4/d3/e18/a4 r8; s3's
+    // probe side r9 — the engine's LAST UDF) must STAY UDF-free — a
+    // reintroduced UDF brings back the per-row conversion layer this
+    // family measured its wins against.
     val udfFree = Seq("a1_isoforest", "a3_kmeans_outlier", "a7_pca_outlier",
-      "d3_minhash_lsh", "d4_simhash", "d11_semdedup", "s4_ann_pq",
+      "d3_minhash_lsh", "d4_simhash", "d11_semdedup", "s3_ivf", "s4_ann_pq",
       "t4_fingerprint", "e18_window_drift", "a4_cusum_drift")
     withFullPlans {
       udfFree.foreach { q =>
@@ -332,5 +331,28 @@ class PlanAuditSpec extends SparkSpec {
           s"$q plans Scala UDFs: ${udfs.map(_.udfName).distinct}")
       }
     }
+  }
+
+  test("main source tree registers zero Scala UDFs (r9: the s3 probe was the last)") {
+    // the plan-level check above only sees queries it lists; this is
+    // the whole-engine invariant — `udf(` appearing anywhere in main is
+    // a regression (tests may use UDFs freely: they are the twin
+    // formulations the expressions are pinned against)
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala")
+    assert(java.nio.file.Files.isDirectory(root),
+      s"expected to run from the repo root, cwd=${sys.props("user.dir")}")
+    val pat = java.util.regex.Pattern.compile("""\budf\s*\(""")
+    val walk = java.nio.file.Files.walk(root)
+    val hits = try {
+      walk.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { p =>
+          java.nio.file.Files.readAllLines(p).asScala.zipWithIndex.collect {
+            case (line, i) if pat.matcher(line).find() => s"$p:${i + 1}: $line"
+          }
+        }.toList
+    } finally walk.close()
+    assert(hits.isEmpty, s"Scala UDF registrations in main:\n${hits.mkString("\n")}")
   }
 }

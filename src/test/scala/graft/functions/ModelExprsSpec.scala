@@ -73,6 +73,35 @@ class ModelExprsSpec extends SparkSpec {
     assert(gotHier == wantHier)
   }
 
+  test("NearestCellsIdx == the s3 probe UDF (stable-sort take-n), ties included") {
+    // duplicate centroids plant exact distance ties: the UDF's
+    // sortBy(_._1) is stable, so the lower cell index must come first
+    val tieCenters = centers ++ Array(centers(2).clone(), centers(7).clone())
+    val udfForm = udf((v: Seq[Float], n: Int) =>
+      tieCenters.zipWithIndex.map { case (ctr, ci) =>
+        var d = 0.0
+        var i = 0
+        while (i < ctr.length) { val df = v(i) - ctr(i); d += df * df; i += 1 }
+        (d, ci)
+      }.sortBy(_._1).take(n).map(_._2))
+    val df = vectors.toDF("vec_id", "embedding").repartition(3)
+    for (n <- Seq(1, 6, 12, 99)) { // 99 > k: take caps at k
+      val want = df.select(col("vec_id"), udfForm(col("embedding"), lit(n)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      val got = df.select(col("vec_id"), GraftShim.column(NearestCellsIdx(
+          GraftShim.expression(col("embedding")), tieCenters, n)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      assert(got == want, s"n=$n")
+    }
+    // the planted ties actually surface in the ordering: for a vector
+    // nearest cell 2, the duplicate (index 10) must rank directly after
+    val full = df.select(GraftShim.column(NearestCellsIdx(
+        GraftShim.expression(col("embedding")), tieCenters, 12)).as("c"))
+      .collect().map(_.getSeq[Int](0).toList)
+    assert(full.forall(l => l.indexOf(2) < l.indexOf(10) &&
+      l.indexOf(7) < l.indexOf(11)), "stable tie-break violated")
+  }
+
   test("ForestStepScore == the a1 scoring UDF on a fitted model") {
     val keys = Seq("alpha", "beta", "gamma")
     val forests = keys.map { k =>
