@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.execution.{SparkPlan, FileSourceScanExec}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
 /** Plan-shape regression gate (SURVEY.md §5): every SparkEntry query's
   * PHYSICAL plan must be free of unbounded join strategies, and the
@@ -25,12 +26,16 @@ class PlanAuditSpec extends SparkSpec {
 
   /** [[allNodes]] that additionally descends INTO cached relations
     * (each distinct relation once) — caches are part of the plan
-    * shape, and what is under them must be auditable too. */
+    * shape, and what is under them must be auditable too — and into
+    * finalized AQE query stages (QueryStageExec is a leaf whose real
+    * subtree hangs off `.plan`; without this, post-execution shapes
+    * hide every exchange behind a stage wrapper). */
   private def allNodesThroughCaches(p: SparkPlan): Seq[SparkPlan] = {
     val seen = scala.collection.mutable.Set[Int]()
     def walk(n: SparkPlan): Seq[SparkPlan] = {
       val kids = n match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
         case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
           val cp = im.relation.cachedPlan
           if (seen.add(System.identityHashCode(cp))) Seq(cp) else Nil
@@ -329,6 +334,85 @@ class PlanAuditSpec extends SparkSpec {
           }))
         assert(udfs.isEmpty,
           s"$q plans Scala UDFs: ${udfs.map(_.udfName).distinct}")
+      }
+    }
+  }
+
+  // ---- golden plan shapes (r9, VERDICT r8 item 3) -------------------
+  // An added exchange or a lost broadcast on an expensive plan used to
+  // surface only as unexplained bench drift — which costs a bisect to
+  // adjudicate. These are the EXECUTED (AQE-final) node counts of the
+  // 15 most expensive SparkEntry plans at the spec SF; a deliberate
+  // plan change re-records its row in the same commit
+  // (GRAFT_RECORD_GOLDEN=1 prints the current table).
+
+  /** Count of the plan-shape-bearing node kinds, zero entries elided. */
+  private def shapeOf(plan: SparkPlan): Map[String, Int] = {
+    val nodes = allNodesThroughCaches(plan)
+    Map(
+      "shuffle" -> nodes.count(_.isInstanceOf[ShuffleExchangeExec]),
+      "broadcast" -> nodes.count(_.isInstanceOf[BroadcastExchangeExec]),
+      "reused_exchange" -> nodes.count(_.isInstanceOf[ReusedExchangeExec]),
+      "sort" -> nodes.count(_.isInstanceOf[SortExec]),
+      "bhj" -> nodes.count(_.isInstanceOf[BroadcastHashJoinExec]),
+      "smj" -> nodes.count(_.isInstanceOf[SortMergeJoinExec]),
+      "shj" -> nodes.count(_.isInstanceOf[ShuffledHashJoinExec]),
+      "bnlj" -> nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec])
+    ).filter(_._2 > 0)
+  }
+
+  // Recorded 2026-08-15 (r9) at sf0.001, local[4], shuffle partitions
+  // 4, default broadcast threshold; verified identical across two
+  // recording runs. The d8/d12/m5 hundreds-scale counts are real:
+  // full-plan mode exposes every pointer-jumping CC round's joins, and
+  // round count is deterministic for the seed-deterministic testdata —
+  // which makes them the SHARPEST tripwires here (one extra exchange
+  // per round multiplies). q16 shows a bhj under the default config at
+  // tiny SF; its exchange-free bucketed-SMJ claim is pinned separately
+  // with broadcast disabled.
+  private val goldenShapes: Map[String, Map[String, Int]] = Map(
+    "a5_mahalanobis" -> Map("bhj" -> 1, "broadcast" -> 1, "shuffle" -> 2, "sort" -> 1),
+    "d12_keeper_select" -> Map("bhj" -> 315, "broadcast" -> 315, "shuffle" -> 201, "smj" -> 51, "sort" -> 197),
+    "d15_source_overlap" -> Map("bhj" -> 6, "broadcast" -> 6, "shuffle" -> 6, "sort" -> 1),
+    "d16_edit_pairs" -> Map("bhj" -> 5, "broadcast" -> 5, "shuffle" -> 5, "sort" -> 1),
+    "d2_dedup_ngram" -> Map("bhj" -> 4, "broadcast" -> 4, "shuffle" -> 5, "sort" -> 1),
+    "d8_dedup_clusters" -> Map("bhj" -> 157, "broadcast" -> 157, "shuffle" -> 101, "smj" -> 25, "sort" -> 98),
+    "d9_fuzzy_join" -> Map("bhj" -> 5, "broadcast" -> 5, "shuffle" -> 8, "sort" -> 1),
+    "m4_percep_dedup" -> Map("bhj" -> 3, "broadcast" -> 3, "shuffle" -> 5, "sort" -> 1),
+    "m5_percep_clusters" -> Map("bhj" -> 156, "broadcast" -> 156, "shuffle" -> 255, "smj" -> 25, "sort" -> 98),
+    "q13_window_suite" -> Map("shuffle" -> 2, "sort" -> 2),
+    "q16_colocated_join" -> Map("bhj" -> 1, "broadcast" -> 1, "shuffle" -> 2, "sort" -> 1),
+    "q3_join_agg" -> Map("bhj" -> 3, "broadcast" -> 3, "shuffle" -> 2, "sort" -> 1),
+    "q9_percentile" -> Map("shuffle" -> 2, "sort" -> 1),
+    "s2_ann_lsh" -> Map("bhj" -> 1, "broadcast" -> 1, "shuffle" -> 2, "sort" -> 1),
+    "s6_knn_graph" -> Map("shj" -> 1, "shuffle" -> 6, "sort" -> 1)
+  )
+
+  test("top-15 plan shapes match the golden exchange/sort/join counts") {
+    withFullPlans {
+      // AS-PLANNED shape (no execution): the AQE-final plan was
+      // measured unstable for the iterative-CC family (AQE flips a few
+      // SMJ↔BHJ per run on stage-size timing), while the initial plan
+      // is a deterministic function of code + testdata — and a lost
+      // hint / added exchange regresses the initial plan too.
+      val got = goldenShapes.keys.toSeq.sorted.map { q =>
+        val df = SparkEntry.queries(q)(spark, sf)
+        q -> shapeOf(df.queryExecution.executedPlan)
+      }
+      if (sys.env.contains("GRAFT_RECORD_GOLDEN")) {
+        got.foreach { case (q, s) =>
+          val body = s.toSeq.sorted
+            .map { case (k, v) => s""""$k" -> $v""" }.mkString(", ")
+          println(s"""GOLDEN    "$q" -> Map($body),""")
+        }
+      } else {
+        val diffs = got.collect {
+          case (q, s) if s != goldenShapes(q) =>
+            s"$q: got $s want ${goldenShapes(q)}"
+        }
+        assert(diffs.isEmpty,
+          s"plan shapes drifted (deliberate change? re-record the golden " +
+            s"row in this commit):\n${diffs.mkString("\n")}")
       }
     }
   }
