@@ -342,7 +342,7 @@ class PlanAuditSpec extends SparkSpec {
   // An added exchange or a lost broadcast on an expensive plan used to
   // surface only as unexplained bench drift — which costs a bisect to
   // adjudicate. These are the EXECUTED (AQE-final) node counts of the
-  // 15 most expensive SparkEntry plans at the spec SF; a deliberate
+  // 20 most expensive SparkEntry plans at the spec SF; a deliberate
   // plan change re-records its row in the same commit
   // (GRAFT_RECORD_GOLDEN=1 prints the current table).
 
@@ -385,10 +385,17 @@ class PlanAuditSpec extends SparkSpec {
     "q3_join_agg" -> Map("bhj" -> 3, "broadcast" -> 3, "shuffle" -> 2, "sort" -> 1),
     "q9_percentile" -> Map("shuffle" -> 2, "sort" -> 1),
     "s2_ann_lsh" -> Map("bhj" -> 1, "broadcast" -> 1, "shuffle" -> 2, "sort" -> 1),
-    "s6_knn_graph" -> Map("shj" -> 1, "shuffle" -> 6, "sort" -> 1)
+    "s6_knn_graph" -> Map("shj" -> 1, "shuffle" -> 6, "sort" -> 1),
+    // r9 extension: the s3 probe-side conversion's plan, plus the next
+    // tier of shuffle-bearing plans
+    "s3_ivf" -> Map("bhj" -> 1, "broadcast" -> 1, "shuffle" -> 4, "sort" -> 1),
+    "d3_minhash_lsh" -> Map("bhj" -> 3, "broadcast" -> 3, "shuffle" -> 3, "sort" -> 1),
+    "d11_semdedup" -> Map("bhj" -> 1, "broadcast" -> 1, "shuffle" -> 2, "sort" -> 1),
+    "t9_tfidf_topk" -> Map("bhj" -> 1, "broadcast" -> 1, "shuffle" -> 5, "sort" -> 1),
+    "e12_range_join" -> Map("bhj" -> 1, "broadcast" -> 1, "shuffle" -> 3, "sort" -> 3)
   )
 
-  test("top-15 plan shapes match the golden exchange/sort/join counts") {
+  test("top-20 plan shapes match the golden exchange/sort/join counts") {
     withFullPlans {
       // AS-PLANNED shape (no execution): the AQE-final plan was
       // measured unstable for the iterative-CC family (AQE flips a few
