@@ -19,19 +19,25 @@ timeout = float(sys.argv[4]) if len(sys.argv) > 4 else None
 con = duckdb.connect()
 
 
-def run_oracle(sql):
-    """Execute with an optional wall-clock cap (con.interrupt() from a
-    watchdog thread) — some exact-replay oracles (recursive CTEs over
+def with_watchdog(fn):
+    """Run fn() under the optional wall-clock cap (con.interrupt() from
+    a watchdog thread) — some exact-replay oracles (recursive CTEs over
     1M rows) price out of DuckDB at sf1; a timeout records that honestly
-    instead of hanging the sweep."""
+    instead of hanging the sweep. Shared by the plain-SQL oracles, a4's
+    fold replay, and the bound oracles, so EVERY DuckDB-side computation
+    sits under the same watchdog (r10, per advisor: a4 used to bypass it)."""
     if timeout is None:
-        return con.execute(sql).df()
+        return fn()
     timer = threading.Timer(timeout, con.interrupt)
     timer.start()
     try:
-        return con.execute(sql).df()
+        return fn()
     finally:
         timer.cancel()
+
+
+def run_oracle(sql):
+    return with_watchdog(lambda: con.execute(sql).df())
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f).replace(".parquet", "")
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{f}')")
@@ -47,7 +53,7 @@ def a4_iterative():
     CUSUM runs as a plain Python loop. Still fully Spark-independent,
     and proven equal to the recursive CTE by both matching the same
     Spark dumps at sf0.01/sf0.1 (where the CTE still completes)."""
-    base = con.execute("""
+    base = with_watchdog(lambda: con.execute("""
       WITH st AS (SELECT event_type AS key, COUNT(*) AS n,
         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS s1,
         CAST(CAST(SUM(CAST(value * value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS s2
@@ -57,7 +63,7 @@ def a4_iterative():
       SELECT e.event_id, sx.key, e.value, sx.mean, sx.sd
       FROM events e JOIN sx ON e.event_type = sx.key
       ORDER BY sx.key, epoch(date_trunc('second', e.ts)), e.event_id
-    """).fetchall()
+    """).fetchall())
     rows = []
     cur = None
     pos = neg = 0.0
@@ -78,8 +84,156 @@ def a4_iterative():
         if sd > 0 and neg < -(5.0 * sd):
             rows.append((event_id, key, value, "down",
                          round(-neg / sd * 1000000) / 1000000))
+    # explicit dtypes: a legitimately alarm-free corpus yields an empty
+    # frame whose default object dtypes would spuriously FAIL the dtype
+    # comparison against Spark's typed parquet (r10, per advisor)
     return pd.DataFrame(rows,
-                        columns=["event_id", "key", "value", "side", "stat"])
+                        columns=["event_id", "key", "value", "side", "stat"]
+                        ).astype({"event_id": "int64", "key": "object",
+                                  "value": "float64", "side": "object",
+                                  "stat": "float64"})
+
+# ---- inequality ("bound") oracles for the 5 [rows-only] estimates ----
+# (r10, VERDICT r9 item 4). These queries emit sketch/summary ESTIMATES
+# whose exact values are engine-specific, so a hash oracle is impossible
+# by design — but every one carries a PUBLISHED error bound, and DuckDB
+# can compute the exact quantity the bound is stated against. Each
+# checker returns a list of violations (empty = BOUND-OK). hash_match
+# stays out of reach on purpose: these prove the estimate sits inside
+# its guarantee, not that it equals a replay.
+
+BIGRAM_CTE = """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  b AS (SELECT unnest(list_transform(range(greatest(len(w) - 1, 1)),
+          i -> array_to_string(w[i + 1:i + 2], ' '))) AS bigram FROM w)"""
+
+
+def bound_q11(got):
+    """approx_count_distinct(rsd=0.02) per group: n_ord exact-equal,
+    estimate within 3×rsd of DuckDB's exact distinct."""
+    exp = run_oracle("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_exact,
+      COUNT(*) AS n_ord FROM orders GROUP BY 1 ORDER BY 1""")
+    bad = []
+    if sorted(got["o_orderstatus"]) != sorted(exp["o_orderstatus"]):
+        return [f"groups {sorted(got['o_orderstatus'])} vs {sorted(exp['o_orderstatus'])}"]
+    m = got.merge(exp, on="o_orderstatus")
+    for _, r in m.iterrows():
+        if int(r["n_ord_x"]) != int(r["n_ord_y"]):
+            bad.append(f"{r['o_orderstatus']}: n_ord {r['n_ord_x']} vs exact {r['n_ord_y']}")
+        rel = abs(r["n_cust_est"] / r["n_exact"] - 1.0)
+        if rel > 3 * 0.02:
+            bad.append(f"{r['o_orderstatus']}: est {r['n_cust_est']} vs exact "
+                       f"{r['n_exact']} (rel {rel:.4f} > 3*rsd 0.06)")
+    return bad
+
+
+def bound_q18(got):
+    """HLL (lgK=12, rsd≈1.6%) per group + merged ALL: every estimate
+    within ±3% of the exact distinct (the spec's own bound)."""
+    exp = run_oracle("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_exact
+      FROM orders GROUP BY 1
+      UNION ALL SELECT 'ALL', COUNT(DISTINCT o_custkey) FROM orders
+      ORDER BY 1""")
+    bad = []
+    if sorted(got["o_orderstatus"]) != sorted(exp["o_orderstatus"]):
+        return [f"groups {sorted(got['o_orderstatus'])} vs {sorted(exp['o_orderstatus'])}"]
+    m = got.merge(exp, on="o_orderstatus")
+    for _, r in m.iterrows():
+        rel = abs(r["n_cust_est"] / r["n_exact"] - 1.0)
+        if rel > 0.03:
+            bad.append(f"{r['o_orderstatus']}: est {r['n_cust_est']} vs exact "
+                       f"{r['n_exact']} (rel {rel:.4f} > 0.03)")
+    return bad
+
+
+def bound_e14(got):
+    """GK approx_percentile(accuracy=10000): each estimate must lie in
+    the exact ±1% rank window (quantile_disc at p∓0.01 — the spec's
+    neighborhood; GK's own guarantee is the tighter ±1/accuracy)."""
+    cols = [("med_qty", "l_quantity", 0.5),
+            ("p90_price", "l_extendedprice", 0.9),
+            ("p99_price", "l_extendedprice", 0.99)]
+    sel = ", ".join(
+        f"CAST(quantile_disc({src}, {max(0.0, p - 0.01)}) AS DOUBLE) AS {c}_lo, "
+        f"CAST(quantile_disc({src}, {min(1.0, p + 0.01)}) AS DOUBLE) AS {c}_hi"
+        for c, src, p in cols)
+    exp = run_oracle(
+        f"SELECT l_returnflag, {sel} FROM lineitem GROUP BY 1 ORDER BY 1")
+    bad = []
+    m = got.merge(exp, on="l_returnflag")
+    if len(m) != len(got) or len(got) != len(exp):
+        return [f"groups {sorted(got['l_returnflag'])} vs {sorted(exp['l_returnflag'])}"]
+    for _, r in m.iterrows():
+        for c, _, _ in cols:
+            if not (r[f"{c}_lo"] - 1e-9 <= r[c] <= r[f"{c}_hi"] + 1e-9):
+                bad.append(f"{r['l_returnflag']}.{c}: {r[c]} outside rank window "
+                           f"[{r[f'{c}_lo']}, {r[f'{c}_hi']}]")
+    return bad
+
+
+def bound_t11(got):
+    """CMS heavy hitters: never under-count, over-count ≤ εN per item
+    (ε=1e-5, seeded CMS — deterministic), and mass recall ≥ 0.9 of the
+    exact top-100 (exact set recovery is impossible on the tie-heavy
+    synthetic corpus; mass is what the guarantee bounds)."""
+    exact = run_oracle(BIGRAM_CTE + """
+      SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram""")
+    total = int(exact["n"].sum())
+    eps_n = 1e-5 * total
+    ex = dict(zip(exact["bigram"], exact["n"]))
+    bad = []
+    got_mass = 0
+    for _, r in got.iterrows():
+        n_exact = int(ex.get(r["bigram"], 0))
+        got_mass += n_exact
+        if r["n_est"] < n_exact:
+            bad.append(f"{r['bigram']}: CMS under-count {r['n_est']} < exact {n_exact}")
+        if r["n_est"] > n_exact + eps_n + 1:
+            bad.append(f"{r['bigram']}: over-count {r['n_est']} > exact "
+                       f"{n_exact} + eps*N {eps_n:.1f}")
+    top_mass = int(exact.sort_values(["n", "bigram"], ascending=[False, True])
+                   .head(len(got))["n"].sum())
+    if got_mass < 0.9 * top_mass:
+        bad.append(f"mass recall {got_mass}/{top_mass} = "
+                   f"{got_mass / top_mass:.3f} < 0.9")
+    return bad
+
+
+def bound_t12(got):
+    """Unigram-LM cross-entropy: n_words exact-equal, xent within the
+    6-dp rounding half-ulp (5e-7) + cross-engine libm slack (1e-9) of
+    DuckDB's exact recompute — the inequality form of the oracle the
+    r9 margin measurement adjudicated hash-unsafe (BASELINE_SELF
+    §t12-margin)."""
+    exp = run_oracle("""
+      WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+      wf AS (SELECT * FROM w WHERE word <> ''),
+      c AS (SELECT word, COUNT(*) AS n FROM wf GROUP BY word),
+      tot AS (SELECT SUM(n) AS t FROM c)
+      SELECT wf.doc_id, COUNT(*) AS n_words,
+             AVG(-ln(c.n / tot.t)) AS xent
+      FROM wf JOIN c USING (word), tot
+      GROUP BY wf.doc_id ORDER BY wf.doc_id""")
+    if len(got) != len(exp):
+        return [f"rows {len(got)} vs {len(exp)}"]
+    m = got.merge(exp, on="doc_id", suffixes=("_s", "_d"))
+    bad = []
+    for _, r in m.iterrows():
+        if int(r["n_words_s"]) != int(r["n_words_d"]):
+            bad.append(f"doc {r['doc_id']}: n_words {r['n_words_s']} vs {r['n_words_d']}")
+        if abs(r["xent_s"] - r["xent_d"]) > 5e-7 + 1e-9:
+            bad.append(f"doc {r['doc_id']}: xent {r['xent_s']} vs exact "
+                       f"{r['xent_d']} (|diff| {abs(r['xent_s'] - r['xent_d']):.2e})")
+    return bad
+
+
+BOUND_ORACLES = {
+    "q11_approx_distinct": bound_q11,
+    "q18_sketch_rollup": bound_q18,
+    "e14_approx_quantile": bound_e14,
+    "t11_heavy_hitters": bound_t11,
+    "t12_lm_quality": bound_t12,
+}
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 n_ok = n_bad = n_to = 0
@@ -135,6 +289,35 @@ for name, sql in sorted(oracle.items()):
         n_bad += 1
     else:
         print(f"OK   {name} ({len(got)} rows)")
+        n_ok += 1
+for name, checker in sorted(BOUND_ORACLES.items()):
+    if only and name not in only:
+        continue
+    spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not spark_files:
+        print(f"FAIL {name}: no spark output (bound oracle)")
+        n_bad += 1
+        continue
+    got = pd.concat([pd.read_parquet(f) for f in sorted(spark_files)])
+    try:
+        violations = checker(got)
+    except duckdb.InterruptException:
+        print(f"TIMEOUT {name}: bound oracle exceeded {timeout}s in duckdb")
+        n_to += 1
+        continue
+    except Exception as ex:
+        if "INTERRUPT" in str(ex).upper():
+            print(f"TIMEOUT {name}: bound oracle exceeded {timeout}s in duckdb")
+            n_to += 1
+            continue
+        print(f"FAIL {name}: bound oracle error: {ex}")
+        n_bad += 1
+        continue
+    if violations:
+        print(f"FAIL {name} (bound): " + "; ".join(violations[:5]))
+        n_bad += 1
+    else:
+        print(f"OK   {name} ({len(got)} rows, bound oracle)")
         n_ok += 1
 print(f"== {n_ok} ok, {n_bad} bad, {n_to} timeout ==")
 sys.exit(1 if n_bad else 0)

@@ -9,13 +9,41 @@ and the machine-wide cpu busy/iowait jiffies; prints per-phase deltas
 (quartiles of wall time) so "read-IO dominance in the tail" is visible
 directly.
 """
-import json, subprocess, sys, time
+import json, os, subprocess, sys, time
 
 out_path = sys.argv[1]
 assert sys.argv[2] == "--"
 cmd = sys.argv[3:]
 
-DEV = "vda"
+
+def pick_device():
+    """IOPROBE_DEV env var, else the busiest whole-disk device by
+    cumulative sectors written (r10, per advisor: 'vda' was hardcoded
+    and raised immediately on nvme/sda hosts)."""
+    env = os.environ.get("IOPROBE_DEV")
+    if env:
+        return env
+    best, best_wr = None, -1
+    for line in open("/proc/diskstats"):
+        f = line.split()
+        name = f[2]
+        # skip partitions (vda1, nvme0n1p2, sda3) and virtual devices
+        if name.startswith(("loop", "ram", "dm-", "md", "zram")):
+            continue
+        if name[-1].isdigit() and not name.startswith("nvme"):
+            continue
+        if name.startswith("nvme") and "p" in name.split("n", 2)[-1]:
+            continue
+        wr = int(f[9])
+        if wr > best_wr:
+            best, best_wr = name, wr
+    if best is None:
+        raise RuntimeError("no block device found in /proc/diskstats "
+                           "(set IOPROBE_DEV)")
+    return best
+
+
+DEV = pick_device()
 
 
 def disk():

@@ -207,12 +207,20 @@ object NearestCellsIdx {
     var r = 0
     while (r < take) {
       var bi = -1
-      var bd = Double.MaxValue
+      var bd = Double.PositiveInfinity
       var c = 0
       while (c < k) {
         if (!used(c) && dists(c) < bd) { bd = dists(c); bi = c }
         c += 1
       }
+      // strict '<' vs +Inf start: every remaining distance being +Inf
+      // (overflowing embedding) or NaN (corrupt value) leaves bi at -1.
+      // The stable-sort this loop replays total-orders those LAST, so a
+      // selected non-finite means the input itself is bad — fail loud
+      // with the cause, not an opaque ArrayIndexOutOfBounds.
+      if (bi < 0) throw new IllegalArgumentException(
+        s"NearestCellsIdx: rank-$r nearest cell has non-finite distance " +
+          "(NaN/Inf) — embedding contains non-finite or overflowing values")
       used(bi) = true
       out(r) = bi
       r += 1

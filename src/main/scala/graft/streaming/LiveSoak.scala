@@ -237,6 +237,14 @@ object LiveSoak {
       Thread.sleep(5000)
       sample()
       if (killsDone < killAt.length && elapsed >= killAt(killsDone)) {
+        // LIMITATION (r10, per advisor): these "kills" are graceful
+        // StreamingQuery.stop() calls — in-flight batches commit
+        // cleanly before the restart, so the exactly-once/monotonicity
+        // invariants below are exercised against clean restarts, NOT
+        // against a crash that strands an uncommitted batch. A
+        // crash-grade soak needs a forked JVM killed with SIGKILL
+        // mid-batch; StreamSnapshotSpec's kill/restart-idempotence test
+        // covers the uncommitted-batch replay path at smaller scale.
         queries.foreach(_.stop())
         killsDone += 1
         System.err.println(s"[soak] kill #$killsDone at ${elapsed}s — restarting")
