@@ -118,8 +118,39 @@ object Bench {
     }
   }
 
+  /** The ambient-host calibration controls (r10, VERDICT r9 item 3):
+    * four codegen-CPU-dominated queries with flat per-row cost, no
+    * wide shuffle, no iteration — their ratio vs base moves with the
+    * HOST (CPU steal, allocator pressure, thermal class), not with
+    * plan changes elsewhere in the engine. Every prior round used
+    * them informally as "ambient controls" during re-base forensics;
+    * host_index formalizes that as the MEDIAN of their ratios so one
+    * drifting control can't skew the index. */
+  private[graft] val HostControls =
+    Seq("q1_agg", "t1_langid", "t2_quality", "t4_fingerprint")
+
+  /** Median control ratio vs the gate table — 1.0 means the canonical
+    * baseline host class; ≳1.2 means a slow host day and raw ratios
+    * overread. None when controls are missing from results or base. */
+  private[graft] def hostIndex(results: Seq[(String, Double)],
+      base: Map[String, Double]): Option[Double] = {
+    val rs = results.toMap
+    val ctl = HostControls.flatMap { q =>
+      for (t <- rs.get(q) if t >= 0; b <- base.get(q)) yield t / b
+    }
+    if (ctl.size < 3) None  // median of <3 controls is not a median
+    else {
+      val s = ctl.sorted
+      Some(if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
+    }
+  }
+
   /** The compact gate line: per-query ratios vs the standing baseline,
-    * worst five, and every query over the documented 2× criterion.
+    * worst five, every query over the documented 2× criterion, and the
+    * host_index with host-adjusted ratios (`adj` = ratio / host_index)
+    * so a slow-host sweep reads as such IN the artifact instead of
+    * costing a per-round forensic (OPERATIONS.md re-base rule).
     * Applies only at the baseline's own protocol scale (sf0.1). */
   private[graft] def baselineVerdict(results: Seq[(String, Double)],
       total: Double): Option[String] = {
@@ -131,8 +162,11 @@ object Bench {
     if (ratios.isEmpty) return None
     val baseTotal = ratios.map(_._3).sum
     val matchedTotal = ratios.map(_._2).sum
-    def jq(r: (String, Double, Double, Double)) =
-      f"""{"q":"${r._1}","sec":${r._2}%.3f,"base":${r._3}%.3f,"ratio":${r._4}%.2f}"""
+    val hi = hostIndex(results, base)
+    def jq(r: (String, Double, Double, Double)) = {
+      val adj = hi.map(h => f""","adj":${r._4 / h}%.2f""").getOrElse("")
+      f"""{"q":"${r._1}","sec":${r._2}%.3f,"base":${r._3}%.3f,"ratio":${r._4}%.2f$adj}"""
+    }
     val worst = ratios.sortBy(-_._4).take(5).map(jq).mkString("[", ",", "]")
     val over2x = ratios.filter(_._4 > 2.0).sortBy(-_._4).map(jq)
       .mkString("[", ",", "]")
@@ -140,6 +174,7 @@ object Bench {
       f"""{"q":"$q","sec":$t%.3f}""" }.mkString("[", ",", "]")
     val failed = results.collect { case (q, t) if t < 0 => "\"" + q + "\"" }
       .mkString("[", ",", "]")
-    Some(f"""{"metric":"baseline_verdict","n_compared":${ratios.size},"total":$total%.1f,"matched_total":$matchedTotal%.1f,"baseline_total":$baseTotal%.1f,"sum_ratio":${matchedTotal / baseTotal}%.2f,"n_over2x":${ratios.count(_._4 > 2.0)},"over2x":$over2x,"worst":$worst,"new":$newQs,"failed":$failed}""")
+    val hiJson = hi.map(h => f"$h%.3f").getOrElse("null")
+    Some(f"""{"metric":"baseline_verdict","n_compared":${ratios.size},"total":$total%.1f,"matched_total":$matchedTotal%.1f,"baseline_total":$baseTotal%.1f,"sum_ratio":${matchedTotal / baseTotal}%.2f,"host_index":$hiJson,"n_over2x":${ratios.count(_._4 > 2.0)},"over2x":$over2x,"worst":$worst,"new":$newQs,"failed":$failed}""")
   }
 }

@@ -182,12 +182,11 @@ object Dedup {
     // the DuckDB oracle (naive join replay) is unchanged.
     val (exploded, sets, cand) =
       containmentCandidates(docs, k, minJac, symmetric = true)
-    val gs = transform(col("sg"), x => x.getField("g"))
     val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
     val out = cand
-      .join(sets.select(col("doc_id").as("a"), gs.as("ga")), "a")
+      .join(sets.select(col("doc_id").as("a"), col("gs").as("ga")), "a")
       .join(sets.select(col("doc_id").as("b"), col("n_sh").as("nb"),
-        gs.as("gb")), "b")
+        col("gs").as("gb")), "b")
       .withColumn("common",
         size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .filter(jac >= minJac)
@@ -381,11 +380,10 @@ object Dedup {
   def containmentPairs(docs: DataFrame, k: Int = 5,
       minCover: Double = 0.8): DataFrame = {
     val (exploded, sets, cand) = containmentCandidates(docs, k, minCover)
-    val gs = transform(col("sg"), x => x.getField("g"))
     val cover = col("common") * lit(1.0) / col("na")
     val out = cand
-      .join(sets.select(col("doc_id").as("a"), gs.as("ga")), "a")
-      .join(sets.select(col("doc_id").as("b"), gs.as("gb")), "b")
+      .join(sets.select(col("doc_id").as("a"), col("gs").as("ga")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("gs").as("gb")), "b")
       .withColumn("common",
         size(array_intersect(col("ga"), col("gb"))).cast("long"))
       .filter(cover >= minCover)
@@ -447,23 +445,53 @@ object Dedup {
     val exploded = Shingles.index(docs, k).cacheIf()
     val dfg = exploded.groupBy("g").agg(count(lit(1)).as("df_g"))
       .filter(col("df_g") <= MaxShingleDf)
-    // one shuffle by doc_id: each doc's kept shingles, rarest first
-    // (df asc, hash tie-break — the GLOBAL order prefix filtering
-    // requires), as one sorted struct array per doc
+    // one shuffle by doc_id: each doc's kept shingles as ONE bare long
+    // array, rarest first (df asc, hash tie-break — the GLOBAL order
+    // prefix filtering requires). The df_g sort key is projected away
+    // INSIDE the aggregate: every downstream consumer (prefix/full
+    // explode, exact verify via array_intersect) needs only the
+    // ordered g's, so the cached sets row and the verify-join volume
+    // carry 8 bytes per shingle, not a 16-byte (df_g, g) struct (r10,
+    // VERDICT r9 item 1 — the d2-family shuffle-write tail).
+    // pk packs (doc_id, n_sh) into ONE long (id·2²⁰ + n_sh) for the
+    // three heaviest exchanges in the engine (~25 GB of shuffle writes
+    // at sf100, BASELINE_SELF §io-probe): the prefix/full join inputs
+    // and the candidate pair stream shrink from 3-long to 2-long rows,
+    // and the pair-count groupBy keys on bare (pa, pb) with na riding
+    // free inside pa — nothing re-joins until the pairs are
+    // count-filtered. Order-preserving (n_sh is a per-doc constant in
+    // the low bits), so pa < pb ⟺ a < b and the packed stream is a
+    // BIJECTION of the unpacked one: candidates are unchanged, only
+    // narrower. MATERIALIZED into the cached sets frame so the guard +
+    // pack evaluate once per doc at cache build, and the join-key
+    // null-intolerance filters push into the cache scan as attribute
+    // predicates instead of re-evaluating the pack CASE per row.
+    // Guarded per DOC row (not per exploded row): an id ≥ 2⁴³ or a doc
+    // with ≥ 2²⁰ kept shingles would corrupt the pack, so fail loud.
+    val packGuard = col("doc_id") >= 0 &&
+      col("doc_id") < lit(1L << 43) && col("n_sh") < lit(1L << PackBits)
+    val packed = when(packGuard,
+        shiftleft(col("doc_id"), PackBits) + col("n_sh"))
+      .otherwise(raise_error(concat(
+        lit("containmentCandidates: unpackable (doc_id, n_sh) = ("),
+        col("doc_id"), lit(", "), col("n_sh"), lit(")"))))
     val sets = sized(exploded.join(dfg, "g"), col("doc_id"))
       .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df_g"), col("g")))).as("sg"),
+      .agg(transform(
+          sort_array(collect_list(struct(col("df_g"), col("g")))),
+          x => x.getField("g")).as("gs"),
         count(lit(1)).as("n_sh"))
+      .select(col("doc_id"), col("gs"), col("n_sh"), packed.as("pk"))
       .cacheIf()
     val f = floor(lit(minCover) * col("n_sh"))
     val prefixLen = least(col("n_sh"),
       col("n_sh") - f + lit(ContainPrefixExtra)).cast("int")
-    val prefix = sets.select(col("doc_id").as("a"), col("n_sh").as("na"),
-        explode(slice(transform(col("sg"), x => x.getField("g")),
-          lit(1), prefixLen)).as("g"))
-    val full = sets.select(col("doc_id").as("b"), col("n_sh").as("nb"),
-        explode(transform(col("sg"), x => x.getField("g"))).as("g"))
-    val fa = floor(lit(minCover) * col("na"))
+    val prefix = sets.select(col("pk").as("pa"),
+      explode(slice(col("gs"), lit(1), prefixLen)).as("g"))
+    val full = sets.select(col("pk").as("pb"), explode(col("gs")).as("g"))
+    val na = col("pa").bitwiseAND(lit(PackMask))
+    val nb = col("pb").bitwiseAND(lit(PackMask))
+    val fa = floor(lit(minCover) * na)
     val tau = greatest(least(lit(ContainPrefixExtra.toLong), fa), lit(1L))
     // (r7 adjudication: the PPJoin prefix×PREFIX variant — both sides
     // indexed only on their rarity windows, Xiao et al. 2008 Lemma 1,
@@ -476,18 +504,26 @@ object Dedup {
     // Correct on the small SFs, strictly worse at scale.)
     val pairPred =
       if (symmetric)
-        col("a") < col("b") && col("nb") >= fa &&
-          col("na") >= floor(lit(minCover) * col("nb"))
-      else col("a") =!= col("b") && col("nb") >= fa
+        col("pa") < col("pb") && nb >= fa &&
+          na >= floor(lit(minCover) * nb)
+      else col("pa") =!= col("pb") && nb >= fa
     val cand = sized(prefix, col("g")).join(sized(full, col("g")), Seq("g"))
       .filter(pairPred)
-    val grouped = sized(cand, col("a"), col("b"))
-      .groupBy("a", "b", "na")
+    val grouped = sized(cand, col("pa"), col("pb"))
+      .groupBy("pa", "pb")
       .agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= tau)
-      .select("a", "b", "na")
+      .select(shiftright(col("pa"), PackBits).as("a"),
+        shiftright(col("pb"), PackBits).as("b"), na.as("na"))
     (exploded, sets, grouped)
   }
+
+  /** Low bits of [[containmentCandidates]]' packed (doc_id, n_sh) key
+    * holding n_sh; doc ids get the remaining 43 value bits. 2²⁰ kept
+    * shingles per doc ≈ a 1M-word document — far above any real
+    * training-data row, and the pack fails loud past it. */
+  private val PackBits = 20
+  private val PackMask = (1L << PackBits) - 1
 
   /** Surviving candidate-pair count of [[containmentPairs]]' blocking
     * stage — the quantity its scale claim is about (PlanAudit guard). */
