@@ -102,4 +102,38 @@ class FailLoudSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("vec_id", "embedding", "cl"))
     assert(out.count() == 0L)
   }
+
+  // r10: the d2-family candidate streams pack (doc_id, n_sh) into one
+  // long (id·2²⁰ + n_sh). An id past the 43 payload bits would corrupt
+  // the pack SILENTLY (wrong pair ids out the other end) — the guard
+  // must turn that into an error, and ids at the boundary must still
+  // round-trip exactly.
+  private def docsFrame(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val dupText =
+    (1 to 12).map(i => s"w$i").mkString(" ") // 8 shingles at k=5, all shared
+
+  test("containment pack fails loud on a doc_id past the 43-bit payload") {
+    val docs = docsFrame(Seq((1L << 43, dupText), (7L, dupText)))
+    val e = intercept[Exception] {
+      graft.operators.Dedup.ngramJaccard(docs).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("unpackable")),
+      s"expected the pack guard's 'unpackable' error, got: $e")
+  }
+
+  test("containment pack round-trips ids at the 43-bit boundary") {
+    val hi = (1L << 43) - 1
+    val docs = docsFrame(Seq((hi, dupText), (7L, dupText)))
+    val rows = graft.operators.Dedup.ngramJaccard(docs).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((7L, hi)), s"expected the exact (7, 2^43-1) twin pair, got " +
+      rows.mkString(", "))
+    assert(rows.head.getDouble(2) == 1.0)
+  }
 }
