@@ -16,6 +16,25 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 # optional: 4th arg = per-oracle DuckDB timeout (sec); 3rd = name filter
 only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 and sys.argv[3] else None
 timeout = float(sys.argv[4]) if len(sys.argv) > 4 else None
+
+# SF-provenance cross-check (r11, VERDICT r10 item 6): a dump compared
+# against the wrong-scale tables fails ~every query on row counts — a
+# confusing 103-FAIL wall where the actual problem is the invocation.
+# Verify now writes MANIFEST.json recording its sfdir; refuse the
+# mismatch up front instead.
+_manifest = os.path.join(outdir, "MANIFEST.json")
+if os.path.exists(_manifest):
+    try:
+        _gen = json.load(open(_manifest)).get("sfdir", "")
+    except Exception:
+        _gen = ""
+    if _gen and os.path.realpath(_gen) != os.path.realpath(sfdir):
+        print(f"ABORT: dump {outdir} was generated from {_gen} but is being "
+              f"checked against {sfdir} — rerun check.py with {_gen} (or "
+              f"regenerate the dump). Row counts scale with SF, so this "
+              f"comparison would FAIL every query for the wrong reason.")
+        sys.exit(2)
+
 con = duckdb.connect()
 
 
@@ -162,9 +181,13 @@ def bound_e14(got):
     m = got.merge(exp, on="l_returnflag")
     if len(m) != len(got) or len(got) != len(exp):
         return [f"groups {sorted(got['l_returnflag'])} vs {sorted(exp['l_returnflag'])}"]
+    # window slack = 5e-7 (Spark side rounds estimates to 6 dp,
+    # Analytics.scala:621 — half-ulp of that rounding) + 1e-9
+    # cross-engine libm slack, matching bound_t12's treatment
+    # (r11, per advisor).
     for _, r in m.iterrows():
         for c, _, _ in cols:
-            if not (r[f"{c}_lo"] - 1e-9 <= r[c] <= r[f"{c}_hi"] + 1e-9):
+            if not (r[f"{c}_lo"] - 5e-7 - 1e-9 <= r[c] <= r[f"{c}_hi"] + 5e-7 + 1e-9):
                 bad.append(f"{r['l_returnflag']}.{c}: {r[c]} outside rank window "
                            f"[{r[f'{c}_lo']}, {r[f'{c}_hi']}]")
     return bad
@@ -236,7 +259,7 @@ BOUND_ORACLES = {
 }
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-n_ok = n_bad = n_to = 0
+n_ok = n_bad = n_to = n_rowfail = 0
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
@@ -269,6 +292,7 @@ for name, sql in sorted(oracle.items()):
     if len(got) != len(exp):
         print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
         n_bad += 1
+        n_rowfail += 1
         continue
     g = got.sort_values(gc).reset_index(drop=True)
     e = exp.sort_values(gc).reset_index(drop=True)
@@ -320,4 +344,12 @@ for name, checker in sorted(BOUND_ORACLES.items()):
         print(f"OK   {name} ({len(got)} rows, bound oracle)")
         n_ok += 1
 print(f"== {n_ok} ok, {n_bad} bad, {n_to} timeout ==")
+# Pre-manifest dumps carry no provenance; a wall of row-count FAILs is
+# the signature of an SF mismatch, so say so instead of leaving 100+
+# FAIL lines to be debugged one by one (r11, VERDICT r10 item 6).
+if n_rowfail >= 20 and n_rowfail >= 0.5 * max(1, n_ok + n_bad):
+    print(f"HINT: {n_rowfail} queries failed on ROW COUNTS alone — this "
+          f"dump was likely generated at a different SF than {sfdir}. "
+          f"Check the sfdir the Verify run used (new dumps record it in "
+          f"MANIFEST.json).")
 sys.exit(1 if n_bad else 0)

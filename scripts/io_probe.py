@@ -24,16 +24,26 @@ def pick_device():
     if env:
         return env
     best, best_wr = None, -1
+    # whole disks (not partitions) appear as directories directly under
+    # /sys/block — name heuristics misclassify digit-suffixed whole
+    # disks like mmcblk0/nvme0n1 (r11, per advisor), membership doesn't
+    whole = set(os.listdir("/sys/block")) if os.path.isdir("/sys/block") else None
     for line in open("/proc/diskstats"):
         f = line.split()
         name = f[2]
-        # skip partitions (vda1, nvme0n1p2, sda3) and virtual devices
+        # skip virtual devices, then partitions
         if name.startswith(("loop", "ram", "dm-", "md", "zram")):
             continue
-        if name[-1].isdigit() and not name.startswith("nvme"):
-            continue
-        if name.startswith("nvme") and "p" in name.split("n", 2)[-1]:
-            continue
+        if whole is not None:
+            if name not in whole:
+                continue
+        else:  # /sys/block absent: fall back to the old name heuristic
+            if name[-1].isdigit() and not name.startswith(("nvme", "mmcblk")):
+                continue
+            if name.startswith("nvme") and "p" in name.split("n", 2)[-1]:
+                continue
+            if name.startswith("mmcblk") and "p" in name[6:]:
+                continue
         wr = int(f[9])
         if wr > best_wr:
             best, best_wr = name, wr

@@ -17,8 +17,11 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "1m"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.io.compression.codec",
+        GraftSession.shuffleCodecFor(dir))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

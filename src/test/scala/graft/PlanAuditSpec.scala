@@ -515,9 +515,14 @@ class PlanAuditSpec extends SparkSpec {
           case (q, s) if s != goldenShapes(q) =>
             s"$q: got $s want ${goldenShapes(q)}"
         }
-        assert(diffs.isEmpty,
+        // stale direction too (r11, per advisor): a golden row whose
+        // query was removed/renamed in SparkEntry would otherwise pass
+        // silently, eroding the "every query pinned" invariant
+        val stale = (goldenShapes.keySet -- got.map(_._1).toSet).toSeq.sorted
+          .map(q => s"$q: golden row has no SparkEntry query — delete it")
+        assert(diffs.isEmpty && stale.isEmpty,
           s"plan shapes drifted (deliberate change? re-record the golden " +
-            s"row in this commit):\n${diffs.mkString("\n")}")
+            s"row in this commit):\n${(diffs ++ stale).mkString("\n")}")
       }
     }
   }
