@@ -216,7 +216,13 @@ object Sampling {
         concat(col("doc_id").cast("string"), lit(":il"))))
       .withColumn("rb", expr("ok >> 55"))
     // phase 1: (source, bucket) counts — a KB-scale driver pull;
-    // phase 2: running offsets per source, rejoined via broadcast
+    // phase 2: running offsets per source, rejoined via broadcast.
+    // The join is a MEASURED choice (r11, graft.I7Probe interleaved
+    // A/B at sf0.1: join min 0.42 s vs a literal nested-CASE attach
+    // 0.71 s — the sources×32 when-chain pays Janino compile per run
+    // and would also pay O(sources) per row at high provenance
+    // cardinality where the join probe stays O(1)); i5's 32-branch
+    // CASE wins only because its branch count is fixed and tiny.
     val counts = docs.groupBy("source", "rb").count().collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val offsets: Seq[(String, Long, Long)] =
