@@ -216,6 +216,7 @@ object Bench {
     val failed = results.collect { case (q, t) if t < 0 => "\"" + q + "\"" }
       .mkString("[", ",", "]")
     val hiJson = hi.map(h => f"$h%.3f").getOrElse("null")
-    Some(f"""{"metric":"baseline_verdict","n_compared":${ratios.size},"total":$total%.1f,"matched_total":$matchedTotal%.1f,"baseline_total":$baseTotal%.1f,"sum_ratio":${matchedTotal / baseTotal}%.2f,"host_index":$hiJson,"n_over2x":${ratios.count(_._4 > 2.0)},"over2x":$over2x,"worst":$worst,"new":$newQs,"failed":$failed}""")
+    val hiSJson = hiS.map(h => f"$h%.3f").getOrElse("null")
+    Some(f"""{"metric":"baseline_verdict","n_compared":${ratios.size},"total":$total%.1f,"matched_total":$matchedTotal%.1f,"baseline_total":$baseTotal%.1f,"sum_ratio":${matchedTotal / baseTotal}%.2f,"host_index":$hiJson,"host_index_shuffle":$hiSJson,"n_over2x":${ratios.count(_._4 > 2.0)},"over2x":$over2x,"worst":$worst,"new":$newQs,"failed":$failed}""")
   }
 }
