@@ -33,7 +33,8 @@ object VolumeProbe {
     // exactly the "host-independent" number this probe exists to keep
     // honest. Retries are also COUNTED and printed so a nonzero
     // retry run is visibly suspect.
-    final case class M(attempt: Int, wB: Long, wR: Long, rB: Long, sp: Long)
+    final case class M(attempt: Int, wB: Long, wR: Long, rB: Long, sp: Long,
+      pk: Long)
     val byStage = new java.util.concurrent.ConcurrentHashMap[Int, M]()
     val retries = new LongAdder
     val stagesDone = new LongAdder
@@ -44,7 +45,8 @@ object VolumeProbe {
           i.taskMetrics.shuffleWriteMetrics.bytesWritten,
           i.taskMetrics.shuffleWriteMetrics.recordsWritten,
           i.taskMetrics.shuffleReadMetrics.totalBytesRead,
-          i.taskMetrics.diskBytesSpilled)
+          i.taskMetrics.diskBytesSpilled,
+          i.taskMetrics.peakExecutionMemory)
         byStage.merge(i.stageId, m, (old, nw) => {
           retries.increment()
           if (nw.attempt >= old.attempt) nw else old
@@ -70,7 +72,12 @@ object VolumeProbe {
     val ms = byStage.values.asScala.toSeq
     val (wB, wR, rB, sp) =
       (ms.map(_.wB).sum, ms.map(_.wR).sum, ms.map(_.rB).sum, ms.map(_.sp).sum)
-    println(f"""{"metric":"volume","q":"$q","sf":"$sfDir","wall_sec":$dt%.1f,"shuffle_write_mb":${wB / 1048576},"shuffle_write_records":$wR,"shuffle_read_mb":${rB / 1048576},"disk_spill_mb":${sp / 1048576},"stage_retries":${retries.sum}}""")
+    // peak execution memory: stage-level sum over tasks, MAX across
+    // stages — the operator-requested memory high-water mark (the r10
+    // sf100 OOM forensics' missing per-query number); plan-determined,
+    // so comparable across host days like the byte counts
+    val pk = if (ms.isEmpty) 0L else ms.map(_.pk).max
+    println(f"""{"metric":"volume","q":"$q","sf":"$sfDir","wall_sec":$dt%.1f,"shuffle_write_mb":${wB / 1048576},"shuffle_write_records":$wR,"shuffle_read_mb":${rB / 1048576},"disk_spill_mb":${sp / 1048576},"peak_exec_mem_mb":${pk / 1048576},"stage_retries":${retries.sum}}""")
     spark.stop()
   }
 }
