@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench gate's calibration machinery (r11): the host indices
+  * are only as good as their control sets, and `hostIndexOver` degrades
+  * SILENTLY to None (artifact prints null) when fewer than 3 controls
+  * resolve — a renamed query or a dropped gate-table row would blind
+  * the index without failing anything. These specs make that loud.
+  */
+class BenchGateSpec extends AnyFunSuite {
+
+  private lazy val base = Bench.loadBaseline()
+  private val controls = Bench.HostControls ++ Bench.HostControlsShuffle
+
+  test("every host control resolves in SparkEntry.queries") {
+    val missing = controls.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty,
+      s"control queries missing from SparkEntry: $missing — a control " +
+        "rename must update Bench.HostControls/HostControlsShuffle too")
+  }
+
+  test("every host control has a gate-table base row") {
+    assert(base.nonEmpty, "gate table parse came back empty — check the " +
+      "'## Gate table (authoritative)' marker in BASELINE_SELF.md")
+    val missing = controls.filterNot(base.contains)
+    assert(missing.isEmpty,
+      s"control queries missing from the authoritative gate table: $missing")
+  }
+
+  test("the two control sets are disjoint and ≥4 each (median robustness)") {
+    assert(Bench.HostControls.size >= 4 && Bench.HostControlsShuffle.size >= 4)
+    assert(Bench.HostControls.intersect(Bench.HostControlsShuffle).isEmpty,
+      "a query in both sets would couple the two indices")
+  }
+
+  test("hostIndex math: median of control ratios, None under 3 controls") {
+    val b = Map("q1_agg" -> 1.0, "t1_langid" -> 1.0, "t2_quality" -> 1.0,
+      "t4_fingerprint" -> 1.0)
+    val r = Seq("q1_agg" -> 1.0, "t1_langid" -> 2.0, "t2_quality" -> 3.0,
+      "t4_fingerprint" -> 100.0)
+    // median of (1, 2, 3, 100) = 2.5 — one runaway control can't skew it
+    assert(Bench.hostIndex(r, b).contains(2.5))
+    assert(Bench.hostIndex(r.take(2), b).isEmpty)
+  }
+
+  test("gate table parses to the full 104-query surface") {
+    // the gate's signal depends on covering every query; a truncated
+    // parse (marker moved, table split) would quietly shrink n_compared
+    assert(base.size == SparkEntry.queries.size,
+      s"gate table has ${base.size} rows but SparkEntry has " +
+        s"${SparkEntry.queries.size} queries")
+  }
+}
