@@ -23,7 +23,14 @@ timeout = float(sys.argv[4]) if len(sys.argv) > 4 else None
 # Verify now writes MANIFEST.json recording its sfdir; refuse the
 # mismatch up front instead.
 _manifest = os.path.join(outdir, "MANIFEST.json")
-if os.path.exists(_manifest):
+# Escape hatch (r12, ADVICE r11): the realpath compare hard-fails on a
+# byte-identical copy of the sf tables at a different path (or a dump
+# moved between machines) where the comparison itself would be valid.
+# CHECK_IGNORE_MANIFEST=1 skips the provenance abort for exactly that
+# case — the row-count mismatch still catches a genuinely wrong scale.
+if os.environ.get("CHECK_IGNORE_MANIFEST") == "1":
+    _manifest = ""
+if _manifest and os.path.exists(_manifest):
     try:
         _gen = json.load(open(_manifest)).get("sfdir", "")
     except Exception:

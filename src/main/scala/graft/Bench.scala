@@ -55,6 +55,15 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
+    // Per-query volume capture on pass 1 ONLY (r12, VERDICT r11 item 3):
+    // shuffle bytes/records are plan-determined — identical across
+    // passes — so one capture per query suffices, and the listener-bus
+    // drain (~0.6 s/query, AFTER the timing is taken) stays out of
+    // passes 2+. The volumes feed the volume_verdict line: the
+    // host-independent counterpoint to the wall-clock gate.
+    val vol = new VolumeListener
+    spark.sparkContext.addSparkListener(vol)
+    val volumes = scala.collection.mutable.Map[String, VolumeListener.Totals]()
     for (pass <- 1 to passes; name <- names) {
       val fn = SparkEntry.queries(name)
       // a query that throws is a FAILURE, never a timing — recording the
@@ -74,9 +83,21 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         samples(name) = dt :: samples(name)
         System.err.println(f"[bench] pass $pass $name%-22s $dt%8.2f s")
+        if (pass == 1) {
+          val t = vol.snapshotAndReset()
+          volumes(name) = t
+          // markdown-row form so a recording sweep pastes straight into
+          // BASELINE_SELF.md's volume table
+          System.err.println(s"[vol] | $name | ${t.writeBytes / 1048576} | " +
+            s"${t.writeRecords} | ${t.peakMemBytes / 1048576} |")
+        }
       } catch { case t: Throwable =>
         System.err.println(s"[bench] pass $pass $name FAILED: ${t.getClass.getSimpleName}: ${t.getMessage}")
+        // a failed query's stages must not bleed into the next capture
+        if (pass == 1) vol.snapshotAndReset()
       }
+      if (pass == 1 && name == names.last)
+        spark.sparkContext.removeSparkListener(vol)
     }
     val results = names.map { name =>
       val dts = samples(name)
@@ -93,10 +114,82 @@ object Bench {
     // the FINAL compact line: the round artifact keeps only the LAST 2 KB
     // of stdout, so the 2× gate must fit there whole — the per-query map
     // above is detail, this line is the judgment for ALL queries.
-    // only comparable at the baseline's own protocol scale
-    if (sfDir.replaceAll("/+$", "").endsWith("sf0.1"))
+    // only comparable at the baseline's own protocol scale.
+    // volume_verdict FIRST, baseline_verdict LAST: the round artifact
+    // keeps the final 2 KB of stdout and the wall gate is the judgment
+    // line; the volume line is its host-independent adjudicator — a
+    // query in over2x but NOT in volume drift moved with the HOST, not
+    // the plan (bytes/records are plan-determined; wall is not).
+    if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) {
+      volumeVerdict(volumes.toMap).foreach(println)
       baselineVerdict(results, total).foreach(println)
+    }
     spark.stop()
+  }
+
+  /** Parse the `| query | wmb | wrec | pkmb |` volume table out of
+    * BASELINE_SELF.md (marker heading `## Volume table (authoritative`,
+    * same one-authoritative-table discipline as the gate table). */
+  private[graft] def loadVolumeBaseline(path: String = "BASELINE_SELF.md")
+      : Map[String, (Long, Long, Long)] = {
+    val f = Seq(sys.env.getOrElse("SPARK_GRAFT_BASELINE", path),
+        "/root/repo/BASELINE_SELF.md")
+      .map(new java.io.File(_)).find(_.exists())
+      .getOrElse(new java.io.File(path))
+    if (!f.exists()) Map.empty
+    else {
+      val Row = """\|\s*([a-z]\w+)\s*\|\s*(\d+)\s*\|\s*(\d+)\s*\|\s*(\d+)\s*\|""".r
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        .linesIterator.toSeq
+      val auth = lines.indexWhere(_.startsWith("## Volume table (authoritative"))
+      if (auth < 0) Map.empty
+      else lines.drop(auth + 1).takeWhile(!_.startsWith("## "))
+        .collect { case Row(q, wmb, wrec, pk) =>
+          q -> ((wmb.toLong, wrec.toLong, pk.toLong)) }.toMap
+    }
+  }
+
+  /** The host-independent verdict: pass-1 shuffle write MB + records
+    * per query vs BASELINE_SELF.md's volume table. Drift thresholds
+    * absorb what legitimately wobbles run-to-run (AQE coalesce /
+    * join-flip timing on the iterative-CC family, MB rounding on tiny
+    * queries): records drift = >1% relative AND >1000 absolute; byte
+    * drift = >15% relative AND >2 MB absolute. A wall-gate breach
+    * whose query is ABSENT from this line's drift list is
+    * self-adjudicated as host weather. Capped at the 6 largest drifts
+    * so the line fits the artifact's 2 KB stdout tail. */
+  private[graft] def volumeVerdict(
+      volumes: Map[String, VolumeListener.Totals],
+      base: Map[String, (Long, Long, Long)] = loadVolumeBaseline())
+      : Option[String] = {
+    if (base.isEmpty || volumes.isEmpty) return None
+    val compared = volumes.keys.filter(base.contains).toSeq.sorted
+    if (compared.isEmpty) return None
+    def drifted(q: String): Option[(String, Double)] = {
+      val t = volumes(q)
+      val (bMB, bRec, _) = base(q)
+      val wmb = t.writeBytes / 1048576
+      val recRel =
+        if (bRec == 0) (if (t.writeRecords == 0) 0.0 else 1.0)
+        else math.abs(t.writeRecords - bRec).toDouble / bRec
+      val mbRel =
+        if (bMB == 0) (if (wmb == 0) 0.0 else 1.0)
+        else math.abs(wmb - bMB).toDouble / bMB
+      val recDrift = recRel > 0.01 && math.abs(t.writeRecords - bRec) > 1000
+      val mbDrift = mbRel > 0.15 && math.abs(wmb - bMB) > 2
+      if (!recDrift && !mbDrift) None
+      else Some((s"""{"q":"$q","wmb":$wmb,"bwmb":$bMB,""" +
+        s""""wrec":${t.writeRecords},"bwrec":$bRec}""",
+        math.max(recRel, mbRel)))
+    }
+    val drifts = compared.flatMap(drifted)
+    val recExact = compared.count(q => volumes(q).writeRecords == base(q)._2)
+    val top = drifts.sortBy(-_._2).take(6).map(_._1).mkString("[", ",", "]")
+    val retries = volumes.values.map(_.stageRetries).sum
+    Some(s"""{"metric":"volume_verdict","n_compared":${compared.size},""" +
+      s""""rec_exact":$recExact,"n_drift":${drifts.size},"drift":$top,""" +
+      s""""stage_retries":$retries}""")
   }
 
   /** Parse the `| query | sec |` table out of BASELINE_SELF.md. */

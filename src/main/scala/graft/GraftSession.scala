@@ -29,8 +29,9 @@ object GraftSession {
     sys.env.getOrElse("SPARK_GRAFT_IO_CODEC",
       if (inputBytes(inputDir) >= ZstdCutoverBytes) "zstd" else "lz4")
 
-  /** Total bytes under `dir` (non-recursive file walk is enough: the
-    * testdata layout is flat files / single-level parquet dirs). */
+  /** Total bytes under `dir` — a RECURSIVE file walk, so nested
+    * layouts (partitioned parquet dirs) size correctly; the flat
+    * testdata layout just makes it cheap. */
   private[graft] def inputBytes(dir: String): Long = {
     val root = new java.io.File(dir)
     def sz(f: java.io.File): Long =

@@ -518,7 +518,8 @@ object Dedup {
     (exploded, sets, grouped)
   }
 
-  /** Low bits of [[containmentCandidates]]' packed (doc_id, n_sh) key
+  /** Low bits of [[containmentCandidates]]' and [[fuzzyJoin]]'s packed
+    * (doc_id, n_sh) key
     * holding n_sh; doc ids get the remaining 43 value bits. 2²⁰ kept
     * shingles per doc ≈ a 1M-word document — far above any real
     * training-data row, and the pack fails loud past it. */
@@ -554,29 +555,51 @@ object Dedup {
     * can't express and a cross join can't survive. */
   def fuzzyJoin(probe: DataFrame, corpus: DataFrame, k: Int = 5,
       minJac: Double = 0.5): DataFrame = {
-    def shingled(df: DataFrame, idAs: String) =
-      Shingles.index(df, k).withColumnRenamed("doc_id", idAs)
-    val cs = shingled(corpus, "b").cacheIf()
+    val cExp = Shingles.index(corpus, k)
+      .withColumnRenamed("doc_id", "b").cacheIf()
     // hot shingles (df > cap) leave the Jaccard universe SYMMETRICALLY:
     // both sides drop them, but a probe shingle merely ABSENT from the
     // corpus still counts in the probe's denominator — novel content in
     // a noisy probe lowers jac instead of silently inflating it
     // (standard set Jaccard over the capped universe)
-    val capped = cs.groupBy("g").count()
+    val capped = cExp.groupBy("g").count()
       .filter(col("count") > MaxShingleDf).select("g")
-    val cIdx = cs.join(capped, Seq("g"), "left_anti").cacheIf()
-    val pAll = shingled(probe, "a").join(capped, Seq("g"), "left_anti").cacheIf()
-    val nb = cIdx.groupBy("b").agg(count(lit(1)).as("nb"))
-    val na = pAll.groupBy("a").agg(count(lit(1)).as("na"))
-    val jac = col("common") * lit(1.0) / (col("na") + col("nb") - col("common"))
-    val out = pAll.join(cIdx, "g")
-      .groupBy("a", "b").agg(count(lit(1)).as("common"))
-      .join(na, "a").join(nb, "b")
+    // r12 contention-hardening (VERDICT r11 item 1 — the 5.97× bench
+    // breach was this operator's object-heavy 3-cache/3-join shape
+    // collapsing under the afternoon memory-contention class): pack
+    // (doc_id, n_kept) into ONE long per side, exactly d2's pk
+    // discipline. One groupBy per side attaches each doc's kept-shingle
+    // count to every index row with NO join back, the heavy g-exchange
+    // carries 2 bare longs per row, and the pair stream needs ZERO
+    // post-aggregation joins — na/nb ride inside the grouping keys.
+    // Caches: 3 → 1 (only the corpus index, consumed by the df agg and
+    // the kept anti-join); the packed streams are each consumed once.
+    def packedIdx(exp: DataFrame, id: String): DataFrame = {
+      val guard = col(id) >= 0 && col(id) < lit(1L << 43) &&
+        col("n") < lit(1L << PackBits)
+      val pk = when(guard, shiftleft(col(id), PackBits) + col("n"))
+        .otherwise(raise_error(concat(
+          lit(s"fuzzyJoin: unpackable ($id, n) = ("),
+          col(id), lit(", "), col("n"), lit(")"))))
+      exp.join(capped, Seq("g"), "left_anti")
+        .groupBy(id)
+        .agg(collect_list(col("g")).as("gs"), count(lit(1)).as("n"))
+        .select(pk.as(s"p$id"), explode(col("gs")).as("g"))
+    }
+    val cIdx = packedIdx(cExp, "b")
+    val pIdx = packedIdx(
+      Shingles.index(probe, k).withColumnRenamed("doc_id", "a"), "a")
+    val na = col("pa").bitwiseAND(lit(PackMask))
+    val nb = col("pb").bitwiseAND(lit(PackMask))
+    val jac = col("common") * lit(1.0) / (na + nb - col("common"))
+    val out = pIdx.join(cIdx, "g")
+      .groupBy("pa", "pb").agg(count(lit(1)).as("common"))
       .filter(jac >= minJac)
-      .select(col("a"), col("b"), round(jac, 6).as("jac"))
+      .select(shiftright(col("pa"), PackBits).as("a"),
+        shiftright(col("pb"), PackBits).as("b"), round(jac, 6).as("jac"))
       .orderBy("a", "b")
       .finishIf()
-    pAll.unpersistIf(); cIdx.unpersistIf(); cs.unpersistIf()
+    cExp.unpersistIf()
     out
   }
 

@@ -44,6 +44,45 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.hostIndex(r.take(2), b).isEmpty)
   }
 
+  test("volume table parses and volume_verdict flags only real drift") {
+    // synthetic table through the same marker-headed parse path the
+    // production read uses
+    val tmp = java.nio.file.Files.createTempFile("volbase", ".md")
+    java.nio.file.Files.writeString(tmp,
+      """## Volume table (authoritative, sf0.1 — host-independent)
+        || query | wmb | wrec | pkmb |
+        ||---|---|---|---|
+        || q1_agg | 10 | 100000 | 64 |
+        || d9_fuzzy_join | 100 | 2000000 | 512 |
+        || t1_langid | 0 | 0 | 16 |
+        |
+        |## sf1 historical
+        || q1_agg | 999 | 999 | 999 |
+        |""".stripMargin)
+    val base = Bench.loadVolumeBaseline(tmp.toString)
+    assert(base == Map(
+      "q1_agg" -> ((10L, 100000L, 64L)),
+      "d9_fuzzy_join" -> ((100L, 2000000L, 512L)),
+      "t1_langid" -> ((0L, 0L, 16L))),
+      s"marker-scoped parse broke: $base")
+    def tot(wmb: Long, wrec: Long) = VolumeListener.Totals(
+      wmb * 1048576, wrec, 0, 0, 0, 0)
+    // within thresholds (records +0.5%, bytes +10%) → no drift;
+    // d9 with doubled records → flagged
+    val quiet = Map("q1_agg" -> tot(11, 100500),
+      "d9_fuzzy_join" -> tot(100, 2000000), "t1_langid" -> tot(0, 0))
+    val vq = Bench.volumeVerdict(quiet, base).get
+    assert(vq.contains("\"n_drift\":0") && vq.contains("\"n_compared\":3"), vq)
+    val drift = quiet + ("d9_fuzzy_join" -> tot(100, 4000000))
+    val vd = Bench.volumeVerdict(drift, base).get
+    assert(vd.contains("\"n_drift\":1") &&
+      vd.contains("\"q\":\"d9_fuzzy_join\""), vd)
+    // the self-adjudication contract: exact-record queries counted
+    // (t1 only — q1's +0.5% is under the drift threshold but not exact)
+    assert(vd.contains("\"rec_exact\":1"), vd)
+    java.nio.file.Files.delete(tmp)
+  }
+
   test("gate table parses to the full 104-query surface") {
     // the gate's signal depends on covering every query; a truncated
     // parse (marker moved, table split) would quietly shrink n_compared
