@@ -90,4 +90,16 @@ class BenchGateSpec extends AnyFunSuite {
       s"gate table has ${base.size} rows but SparkEntry has " +
         s"${SparkEntry.queries.size} queries")
   }
+
+  test("authoritative volume table parses to the full query surface") {
+    // same discipline as the gate table (r12): volume_verdict's
+    // self-adjudication power depends on every query having a row
+    val vol = Bench.loadVolumeBaseline()
+    assert(vol.size == SparkEntry.queries.size,
+      s"volume table has ${vol.size} rows but SparkEntry has " +
+        s"${SparkEntry.queries.size} queries — re-record from a " +
+        "pass-1 [vol] capture")
+    val unknown = vol.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"stale volume rows: $unknown")
+  }
 }
