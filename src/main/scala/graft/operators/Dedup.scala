@@ -553,8 +553,25 @@ object Dedup {
     * the "match these N noisy records against the big table" shape
     * (dirty ids, truncated titles, OCR'd names) that an equi-join
     * can't express and a cross join can't survive. */
+  /** @param corpusRows corpus row count if the caller already knows it
+    *   (or can count it cheaper than this frame — counting a SPREAD
+    *   frame executes its repartition, so d9 counts the raw parquet
+    *   relation instead: a zero-column scan, no shuffle); −1 = count
+    *   `corpus` here. */
   def fuzzyJoin(probe: DataFrame, corpus: DataFrame, k: Int = 5,
-      minJac: Double = 0.5): DataFrame = {
+      minJac: Double = 0.5, corpusRows: Long = -1L): DataFrame = {
+    // per-task state sizing, same numbers as containmentCandidates:
+    // ~16k docs/task keeps each task's collect_list array build in
+    // tens of MB at any corpus size (the s6 hash-relation lesson);
+    // identity at small corpora where the session default is already
+    // enough (an explicit repartition there only adds exchanges)
+    val s = corpus.sparkSession
+    val nDocs = if (corpusRows >= 0) corpusRows else corpus.count()
+    val defaultP = s.sessionState.conf.numShufflePartitions
+    val parts = math.max(defaultP,
+      math.min(4096L, nDocs / 16384L + 1L).toInt)
+    def sized(df: DataFrame, cols: Column*): DataFrame =
+      if (parts > defaultP) df.repartition(parts, cols: _*) else df
     val cExp = Shingles.index(corpus, k)
       .withColumnRenamed("doc_id", "b").cacheIf()
     // hot shingles (df > cap) leave the Jaccard universe SYMMETRICALLY:
@@ -581,12 +598,12 @@ object Dedup {
         .otherwise(raise_error(concat(
           lit(s"fuzzyJoin: unpackable ($id, n) = ("),
           col(id), lit(", "), col("n"), lit(")"))))
-      exp.join(capped, Seq("g"), "left_anti")
+      sized(exp.join(capped, Seq("g"), "left_anti"), col(id))
         .groupBy(id)
         .agg(collect_list(col("g")).as("gs"), count(lit(1)).as("n"))
         .select(pk.as(s"p$id"), explode(col("gs")).as("g"))
     }
-    val cIdx = packedIdx(cExp, "b")
+    val cIdx = sized(packedIdx(cExp, "b"), col("g"))
     val pIdx = packedIdx(
       Shingles.index(probe, k).withColumnRenamed("doc_id", "a"), "a")
     val na = col("pa").bitwiseAND(lit(PackMask))
@@ -610,12 +627,14 @@ object Dedup {
     * shingles are a prefix subset, so jac ≈ 0.6·len ratio ≥ 0.5) plus
     * any of the original's near-dups. [sql-oracle]. */
   def d9FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val raw = Tables.documents(s, dir)
+    val docs = Tables.spread(s, raw)
     val probe = docs.filter(col("doc_id") < 25)
       .select(col("doc_id"),
         expr("array_join(slice(split(text, ' '), 1, CAST(ceil(size(split(text, ' ')) * 3 / 5) AS INT)), ' ')")
           .as("text"))
-    fuzzyJoin(probe, docs)
+    // count the raw relation, not the spread frame (zero-column scan)
+    fuzzyJoin(probe, docs, corpusRows = raw.count())
   }
 
   /** Connected components over an undirected (a, b) edge list by
