@@ -136,4 +136,30 @@ class FailLoudSpec extends SparkSpec {
       rows.mkString(", "))
     assert(rows.head.getDouble(2) == 1.0)
   }
+
+  // r12: fuzzyJoin shares the pack discipline (its own guard/pk
+  // expressions, separate code path from containmentCandidates) — the
+  // same two properties must hold on the probe->corpus shape.
+  test("fuzzyJoin pack fails loud on a doc_id past the 43-bit payload") {
+    val probe = docsFrame(Seq((1L, dupText)))
+    val corpus = docsFrame(Seq((1L << 43, dupText), (7L, dupText)))
+    val e = intercept[Exception] {
+      graft.operators.Dedup.fuzzyJoin(probe, corpus).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("unpackable")),
+      s"expected fuzzyJoin's 'unpackable' pack-guard error, got: $e")
+  }
+
+  test("fuzzyJoin pack round-trips ids at the 43-bit boundary") {
+    val hi = (1L << 43) - 1
+    val probe = docsFrame(Seq((3L, dupText)))
+    val corpus = docsFrame(Seq((hi, dupText)))
+    val rows = graft.operators.Dedup.fuzzyJoin(probe, corpus).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((3L, hi)), s"expected the exact (3, 2^43-1) match, got " +
+      rows.mkString(", "))
+    assert(rows.head.getDouble(2) == 1.0)
+  }
 }
