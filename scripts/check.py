@@ -29,6 +29,12 @@ _manifest = os.path.join(outdir, "MANIFEST.json")
 # CHECK_IGNORE_MANIFEST=1 skips the provenance abort for exactly that
 # case — the row-count mismatch still catches a genuinely wrong scale.
 if os.environ.get("CHECK_IGNORE_MANIFEST") == "1":
+    # Loud on purpose (ADVICE r12): a var left exported in the shell
+    # would otherwise invisibly mask a genuine wrong-scale comparison
+    # on every later run until the confusing all-FAIL wall reappears.
+    print("NOTE: manifest provenance check SKIPPED via "
+          "CHECK_IGNORE_MANIFEST=1 — a wrong-scale dump/sfdir pair "
+          "will fail on row counts instead of aborting up front")
     _manifest = ""
 if _manifest and os.path.exists(_manifest):
     try:

@@ -48,11 +48,21 @@ final class VolumeListener extends SparkListener {
   /** Block until the async listener bus goes quiet: waitUntilEmpty is
     * private[spark], so poll the stage-completion count until it stops
     * moving (three consecutive quiet 200 ms beats) instead of a fixed
-    * sleep that undercounts on a loaded host. */
+    * sleep that undercounts on a loaded host. Capped at 30 s (ADVICE
+    * r12): a stalled bus or a steady trickle of unrelated stage
+    * completions must degrade to an undercount WARNING, not an
+    * unbounded spin — the capture is a measurement aid, never worth
+    * hanging the harness for. */
   def drain(): Unit = {
+    val deadline = System.nanoTime() + 30L * 1000000000L
     var last = -1L
     var stable = 0
     while (stable < 3) {
+      if (System.nanoTime() > deadline) {
+        System.err.println("[vol] WARNING: listener bus still moving " +
+          "after 30 s — volume capture may undercount this query")
+        return
+      }
       Thread.sleep(200)
       val now = stagesDone.sum
       if (now == last) stable += 1 else { stable = 0; last = now }

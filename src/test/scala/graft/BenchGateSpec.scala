@@ -80,7 +80,42 @@ class BenchGateSpec extends AnyFunSuite {
     // the self-adjudication contract: exact-record queries counted
     // (t1 only — q1's +0.5% is under the drift threshold but not exact)
     assert(vd.contains("\"rec_exact\":1"), vd)
+
+    // vol_missing (r13, ADVICE r12): a wall-timed query whose pass-1
+    // volume capture is absent must be NAMED, not silently dropped
+    // from n_compared
+    val vm = Bench.volumeVerdict(quiet, base,
+      measured = Seq("q1_agg", "d9_fuzzy_join", "t1_langid")).get
+    assert(vm.contains("\"vol_missing\":[]"), vm)
+    val vmiss = Bench.volumeVerdict(quiet - "d9_fuzzy_join", base,
+      measured = Seq("q1_agg", "d9_fuzzy_join", "t1_langid")).get
+    assert(vmiss.contains("\"vol_missing\":[\"d9_fuzzy_join\"]"), vmiss)
+
+    // peak-mem band (r13, VERDICT r12 item 5): quiet inside 30%/64 MB,
+    // flagged beyond both
+    def totPk(wmb: Long, wrec: Long, pkmb: Long) = VolumeListener.Totals(
+      wmb * 1048576, wrec, 0, 0, pkmb * 1048576, 0)
+    val pkQuiet = Map(
+      "q1_agg" -> totPk(10, 100000, 80),          // +25% of 64 — inside
+      "d9_fuzzy_join" -> totPk(100, 2000000, 560), // +9% — inside
+      "t1_langid" -> totPk(0, 0, 40))              // +24 MB abs — inside
+    val vp = Bench.volumeVerdict(pkQuiet, base).get
+    assert(vp.contains("\"pk_drift\":0"), vp)
+    val pkBad = pkQuiet + ("d9_fuzzy_join" -> totPk(100, 2000000, 1200))
+    val vpb = Bench.volumeVerdict(pkBad, base).get
+    assert(vpb.contains("\"pk_drift\":1") &&
+      vpb.contains("\"pk\":1200,\"bpk\":512"), vpb)
+    // a pk drift alone must NOT land in the byte/record drift list
+    assert(vpb.contains("\"n_drift\":0"), vpb)
     java.nio.file.Files.delete(tmp)
+  }
+
+  test("innerReps: 3 below the 0.3 s jitter floor, 1 above or unknown") {
+    assert(Bench.innerReps(Some(0.135)) == 3)   // the i2 class
+    assert(Bench.innerReps(Some(0.299)) == 3)
+    assert(Bench.innerReps(Some(0.3)) == 1)
+    assert(Bench.innerReps(Some(2.469)) == 1)
+    assert(Bench.innerReps(None) == 1)          // no base row → no gate
   }
 
   test("gate table parses to the full 104-query surface") {
