@@ -591,21 +591,29 @@ object Dedup {
     // post-aggregation joins — na/nb ride inside the grouping keys.
     // Caches: 3 → 1 (only the corpus index, consumed by the df agg and
     // the kept anti-join); the packed streams are each consumed once.
-    def packedIdx(exp: DataFrame, id: String): DataFrame = {
+    // `size` gates the corpus-derived repartition (ADVICE r12): `parts`
+    // is sized from the CORPUS row count, so applying it to the probe
+    // side would scatter a small-by-contract probe index into up to
+    // 4096 mostly-empty partitions — an extra exchange plus tiny-task
+    // scheduling overhead where the collect_list state-sizing concern
+    // never applies. The probe side keeps the session default.
+    def packedIdx(exp: DataFrame, id: String, size: Boolean): DataFrame = {
       val guard = col(id) >= 0 && col(id) < lit(1L << 43) &&
         col("n") < lit(1L << PackBits)
       val pk = when(guard, shiftleft(col(id), PackBits) + col("n"))
         .otherwise(raise_error(concat(
           lit(s"fuzzyJoin: unpackable ($id, n) = ("),
           col(id), lit(", "), col("n"), lit(")"))))
-      sized(exp.join(capped, Seq("g"), "left_anti"), col(id))
+      val kept = exp.join(capped, Seq("g"), "left_anti")
+      (if (size) sized(kept, col(id)) else kept)
         .groupBy(id)
         .agg(collect_list(col("g")).as("gs"), count(lit(1)).as("n"))
         .select(pk.as(s"p$id"), explode(col("gs")).as("g"))
     }
-    val cIdx = sized(packedIdx(cExp, "b"), col("g"))
+    val cIdx = sized(packedIdx(cExp, "b", size = true), col("g"))
     val pIdx = packedIdx(
-      Shingles.index(probe, k).withColumnRenamed("doc_id", "a"), "a")
+      Shingles.index(probe, k).withColumnRenamed("doc_id", "a"), "a",
+      size = false)
     val na = col("pa").bitwiseAND(lit(PackMask))
     val nb = col("pb").bitwiseAND(lit(PackMask))
     val jac = col("common") * lit(1.0) / (na + nb - col("common"))

@@ -225,6 +225,33 @@ class PlanAuditSpec extends SparkSpec {
       s"d9 candidate volume degenerated: $cand of $cross probe×corpus pairs")
   }
 
+  test("d9's corpus-derived repartition sizes the corpus side only (r13, ADVICE r12)") {
+    import spark.implicits._
+    // The sized() regime (parts > session default) is unreachable at
+    // test SFs, so inject it via the corpusRows contract: 2²⁴ corpus
+    // rows → parts = 2²⁴/16384 + 1 = 1025. The probe index is small by
+    // contract — scattering it into 1025 mostly-empty partitions was
+    // a phantom exchange at sf10+ (ADVICE r12) — so exactly the TWO
+    // corpus-side exchanges (packedIdx's by-id groupBy input and the
+    // final by-g index) may carry the corpus-derived count; every
+    // probe-branch exchange keeps the session default.
+    val corpus = Seq((100L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val probe = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val expected = (1L << 24) / 16384L + 1L  // 1025
+    assert(expected > spark.sessionState.conf.numShufflePartitions)
+    withFullPlans {
+      val plan = operators.Dedup.fuzzyJoin(probe, corpus, corpusRows = 1L << 24)
+        .queryExecution.executedPlan
+      val sizedN = allNodesThroughCaches(plan).collect {
+        case s: ShuffleExchangeExec
+          if s.outputPartitioning.numPartitions == expected => s
+      }.size
+      assert(sizedN == 2,
+        s"expected exactly 2 corpus-side sized exchanges ($expected " +
+          s"partitions), got $sizedN — probe side must keep the default")
+    }
+  }
+
   test("d11's cluster count scales with the corpus so SemDeDup candidates stay near-linear") {
     import spark.implicits._
     // real corpus: the within-cluster pair space must sit well below
