@@ -166,13 +166,20 @@ object Bench {
   }
 
   /** Inner-repeat count for one query within a bench pass (r13,
-    * VERDICT r12 item 4): a base below 0.3 s is inside scheduler-jitter
-    * territory where a single sample per pass can read 2× on a quiet
-    * box, so those queries sample 3× per pass (min-of-N then absorbs
-    * the jitter). Queries with no gate row (new operators) keep 1 —
-    * there is no base to breach. */
+    * VERDICT r12 item 4): a base below the floor is inside
+    * scheduler-jitter territory where a single sample per pass can
+    * read 2× on a quiet box, so those queries sample 3× per pass
+    * (min-of-N then absorbs the jitter). Queries with no gate row
+    * (new operators) keep 1 — there is no base to breach.
+    *
+    * Floor 0.55 s, measured (r13 canonical-window sweep, hi 0.987 /
+    * hiS 0.957): with the floor at 0.3 every sub-0.3 row read ≤ 1.27×
+    * on 16 samples, while the rows at 0.33–0.50 s base (i10/i7/e10/e9)
+    * read 1.33–1.52× on 6 — the jitter band extends past 0.3 s, and
+    * the binary A/B pinned the residual to the estimator + host, not
+    * plans (volume_verdict 104/104 exact in the same sweep). */
   private[graft] def innerReps(baseSec: Option[Double]): Int =
-    if (baseSec.exists(_ < 0.3)) 3 else 1
+    if (baseSec.exists(_ < 0.55)) 3 else 1
 
   /** The host-independent verdict: pass-1 shuffle write MB + records +
     * peak execution memory per query vs BASELINE_SELF.md's volume

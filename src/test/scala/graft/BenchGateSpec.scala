@@ -110,10 +110,11 @@ class BenchGateSpec extends AnyFunSuite {
     java.nio.file.Files.delete(tmp)
   }
 
-  test("innerReps: 3 below the 0.3 s jitter floor, 1 above or unknown") {
+  test("innerReps: 3 below the 0.55 s jitter floor, 1 above or unknown") {
     assert(Bench.innerReps(Some(0.135)) == 3)   // the i2 class
-    assert(Bench.innerReps(Some(0.299)) == 3)
-    assert(Bench.innerReps(Some(0.3)) == 1)
+    assert(Bench.innerReps(Some(0.330)) == 3)   // the i10 class (r13: 6-sample rows at 0.33–0.50 read 1.3–1.5× where 16-sample rows read ≤1.27×)
+    assert(Bench.innerReps(Some(0.549)) == 3)
+    assert(Bench.innerReps(Some(0.55)) == 1)
     assert(Bench.innerReps(Some(2.469)) == 1)
     assert(Bench.innerReps(None) == 1)          // no base row → no gate
   }
