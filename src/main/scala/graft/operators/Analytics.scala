@@ -659,6 +659,16 @@ object Analytics {
     * above the mean order count). The scalar is broadcast, not recomputed
     * per row. Integer inputs keep the mean exact on both engines. */
   def q10HavingSub(s: SparkSession, dir: String): DataFrame = {
+    // NOTE (r13): caching perCust (it feeds both the scalar threshold
+    // and the output filter, and the orders rollup runs twice — AQE
+    // stage reuse can't fire across the scalar-agg branch) was TRIED
+    // and measured a ~2× NO-WIN at gate scale (0.50–0.62 s uncached vs
+    // 0.97–1.25 s cached, 3/3 interleaved JVM pairs): the cache-build
+    // + eager-checkpoint job barriers cost more than the 150k-row
+    // rollup they save. The double rollup stays — it is the cheaper
+    // form until the orders scan dominates, and the scalar stays a
+    // broadcast (a one-pass `avg(...).over()` window would funnel all
+    // customers through one task at 100 TB).
     val perCust = Tables.orders(s, dir)
       .groupBy("o_custkey")
       .agg(count(lit(1)).as("n_ord"), dsum(col("o_totalprice")).as("spend"))

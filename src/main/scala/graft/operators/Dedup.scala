@@ -710,16 +710,24 @@ object Dedup {
     * HIGHEST-quality member (min doc_id on exact ties), map every
     * member to its keeper. */
   def keeperSelect(clusters: DataFrame, quality: DataFrame): DataFrame = {
-    val scored = clusters.join(quality, "doc_id")
+    // cached (r13): both the argmax pass and the member→keeper join
+    // read it, and `clusters` (CC output) is a materialized RDD while
+    // `quality` is a live plan — uncached, the quality pass (a full
+    // fact scan at corpus scale) ran TWICE (PostExec runtime audit:
+    // 3 documents scans, 0 reused). O(clustered docs) rows, 4 columns.
+    val scored = clusters.join(quality, "doc_id").cacheIf()
     // argmax per cluster through the bounded k=1 heaps — ≤ 1 row per
     // (cluster, partition) shuffles, never a full per-cluster sort
     val keepers = graft.plans.TopKPerGroup.perKey(scored,
         Seq(col("cluster")), Seq(col("quality").desc, col("doc_id")), 1)
       .select(col("cluster"), col("doc_id").as("keeper"))
-    scored.join(keepers, "cluster")
+    val out = scored.join(keepers, "cluster")
       .select(col("doc_id"), col("cluster"), col("keeper"),
         when(col("doc_id") === col("keeper"), 1L).otherwise(0L).as("keep"))
       .orderBy("doc_id")
+      .finishIf()
+    scored.unpersistIf()
+    out
   }
 
   /** d12_keeper_select — the dedup DECISION stage: d8's near-dup

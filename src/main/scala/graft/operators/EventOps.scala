@@ -466,7 +466,18 @@ object EventOps {
     autocorr(Tables.events(s, dir), lags)
 
   /** Generic core of [[e19Autocorr]] over any (ts, event_type, value)
-    * frame. */
+    * frame.
+    *
+    * The rollup is CACHED (r13): both join sides read it, but unlike
+    * e16 — where AQE reuses the b-side's rollup stage — here the
+    * inferred `isnotnull(m + lag*60)` join predicate is pushed down
+    * into the b-side's scan as `isnotnull(unix_timestamp(...))`,
+    * making the two rollup subtrees canonically different, so stage
+    * reuse never fires and the fact was scanned + rolled up TWICE
+    * (measured: 160,070 shuffle records vs e16's 80,040 on the same
+    * fact — exactly the duplicated rollup exchange). The cache is the
+    * e17 lifecycle idiom: O(minutes × keys) rows, one fact scan at any
+    * scale. */
   def autocorr(ev: DataFrame, lags: Seq[Int] = Seq(1, 5, 15)): DataFrame = {
     val byMin = ev
       .groupBy(unix_timestamp(date_trunc("minute", col("ts"))).as("m"),
@@ -474,6 +485,7 @@ object EventOps {
       .agg(count(lit(1)).as("nm"), dsum(col("value")).as("sm"))
       .withColumn("v", col("sm") / col("nm"))
       .select("m", "event_type", "v")
+      .cacheIf()
     val a = byMin.select(col("m"), col("event_type"), col("v").as("va"))
       .withColumn("lag", explode(array(lags.map(lit): _*)))
       .withColumn("m2", col("m") + col("lag") * 60)
@@ -489,9 +501,12 @@ object EventOps {
     val varx = col("sxx") - col("sx") * col("sx") / col("n")
     val vary = col("syy") - col("sy") * col("sy") / col("n")
     val r = (col("sxy") - col("sx") * col("sy") / col("n")) / sqrt(varx * vary)
-    st.filter(col("n") > 1 && varx > 0 && vary > 0)
+    val out = st.filter(col("n") > 1 && varx > 0 && vary > 0)
       .select(col("event_type"), col("lag"), col("n"), round(r, 6).as("r"))
       .orderBy("event_type", "lag")
+      .finishIf()
+    byMin.unpersistIf()
+    out
   }
 
   /** e17_ensemble — consensus outliers: an event flags only when ≥ 2 of

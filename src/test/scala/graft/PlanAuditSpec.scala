@@ -418,7 +418,10 @@ class PlanAuditSpec extends SparkSpec {
     "a8_hist_drift" -> Map("bhj" -> 7, "broadcast" -> 7, "shuffle" -> 12, "sort" -> 1),
     "d10_block_dedup" -> Map("bhj" -> 2, "broadcast" -> 2, "shuffle" -> 5, "sort" -> 1),
     "d11_semdedup" -> Map("bhj" -> 1, "broadcast" -> 1, "shuffle" -> 2, "sort" -> 1),
-    "d12_keeper_select" -> Map("bhj" -> 315, "broadcast" -> 315, "shuffle" -> 305, "smj" -> 51, "sort" -> 197),
+    // r13: keeperSelect caches `scored` (the quality join) — the whole
+    // d8+quality subtree was duplicated in the full plan (and the
+    // quality fact pass ran twice at runtime); the cache halves it.
+    "d12_keeper_select" -> Map("bhj" -> 158, "broadcast" -> 158, "shuffle" -> 156, "smj" -> 26, "sort" -> 100),
     "d13_dup_weight" -> Map("shuffle" -> 2, "sort" -> 2),
     "d14_incremental_dedup" -> Map("bhj" -> 1, "broadcast" -> 1, "shuffle" -> 3, "sort" -> 2),
     "d15_source_overlap" -> Map("bhj" -> 6, "broadcast" -> 6, "shuffle" -> 6, "sort" -> 1),
@@ -446,7 +449,10 @@ class PlanAuditSpec extends SparkSpec {
     "e16_correlation" -> Map("bhj" -> 1, "broadcast" -> 1, "shuffle" -> 4, "sort" -> 1),
     "e17_ensemble" -> Map("bhj" -> 3, "broadcast" -> 3, "shuffle" -> 4, "sort" -> 1),
     "e18_window_drift" -> Map("shuffle" -> 2, "sort" -> 2),
-    "e19_autocorr" -> Map("bhj" -> 1, "broadcast" -> 1, "shuffle" -> 4, "sort" -> 1),
+    // r13: rollup cached (the b-side's pushed isnotnull(m2) broke AQE
+    // stage reuse — the fact was scanned + rolled up twice; see
+    // EventOps.autocorr). One rollup exchange now, inside the cache.
+    "e19_autocorr" -> Map("bhj" -> 1, "broadcast" -> 1, "shuffle" -> 3, "sort" -> 1),
     "e1_json_parse" -> Map("shuffle" -> 1, "sort" -> 1),
     "e20_rate_burst" -> Map("bhj" -> 1, "broadcast" -> 1, "shuffle" -> 4, "sort" -> 1),
     "e21_coverage" -> Map("shuffle" -> 3, "sort" -> 1),
@@ -475,6 +481,9 @@ class PlanAuditSpec extends SparkSpec {
     "m3_frame_sample" -> Map("shuffle" -> 2, "sort" -> 1),
     "m4_percep_dedup" -> Map("bhj" -> 3, "broadcast" -> 3, "shuffle" -> 5, "sort" -> 1),
     "m5_percep_clusters" -> Map("bhj" -> 156, "broadcast" -> 156, "shuffle" -> 255, "smj" -> 25, "sort" -> 98),
+    // r13: caching perCust was tried and measured a ~2x gate-scale
+    // no-win (see Analytics.q10HavingSub note) — the double rollup is
+    // the shipped shape.
     "q10_having_sub" -> Map("bnlj" -> 1, "broadcast" -> 1, "shuffle" -> 4, "sort" -> 1),
     "q11_approx_distinct" -> Map("shuffle" -> 2, "sort" -> 1),
     "q12_grouping_sets" -> Map("shuffle" -> 2, "sort" -> 1),
