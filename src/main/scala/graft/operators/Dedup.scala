@@ -283,10 +283,11 @@ object Dedup {
     * bigrams, df cap, same-bigram self-join). The operator and the
     * PlanAudit candidate-volume guard both call this, so the guard
     * can never drift from what the operator plans (the scoredPairs
-    * discipline). Returns (cached prefix frame, candidate pairs) —
-    * callers unpersist the prefix frame. */
+    * discipline). Returns (cached prefix frame, cached df-capped
+    * bigram index, candidate pairs) — callers unpersist both cached
+    * frames (the containmentCandidates triple convention). */
   private[graft] def editCandidates(docs: DataFrame, prefixLen: Int,
-      maxDf: Int): (DataFrame, DataFrame) = {
+      maxDf: Int): (DataFrame, DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
     val pfx = docs
@@ -296,51 +297,60 @@ object Dedup {
         p.split(" ").iterator.sliding(2).map(_.mkString(" "))
           .toSet.iterator.map((g: String) => (id, g))
       }.toDF("doc_id", "g")
-    // r13: df-cap as a COUNT window over the ONE hashpartitioning(g)
-    // exchange the self-join needs anyway (d13's window-over-exchange
-    // idiom). The former groupBy().count() + join-back form computed
-    // the typed flatMap a second time for the aggregate branch
-    // (exchange reuse cannot deduplicate a partial-agg subtree) and
-    // broadcast the kept-bigram list — O(distinct bigrams) strings,
-    // which only grows with the corpus. The self-join is hinted
-    // shuffled-hash: left to the planner it BROADCASTS one whole
-    // window subtree at gate scale (recomputing the flatMap), while
-    // under the hint both sides are identical Exchange(g) subtrees
-    // that ReuseExchange deduplicates — the flatMap runs once and
-    // nothing broadcasts. SHJ is safe here at any scale: the df-cap
-    // bounds every join key at ≤ maxDf rows (no giant-key build), and
-    // per-partition build size tracks rows/partition, which the
-    // shuffle-partition protocol already sizes. Bit-equality + A/B at
-    // sf0.1 (graft.D16Probe, min-of-6 same-JVM): old 0.957 s vs
-    // window+shj 0.634 s (0.66×); the sort-merge form read 0.73×, the
-    // planner's broadcast form 0.80×, and the declarative
-    // split/zip_with bigram form tied the flatMap (kept on the
-    // Shingles.index convention).
+    // r13: df-cap as a COUNT window over ONE hashpartitioning(g)
+    // exchange (d13's window-over-exchange idiom), the windowed frame
+    // CACHED, and the self-join hinted shuffled-hash over the cache.
+    // The former groupBy().count() + join-back form computed the
+    // typed flatMap a second time for the aggregate branch (exchange
+    // reuse cannot deduplicate a partial-agg subtree) and broadcast
+    // the kept-bigram list — O(distinct bigrams) strings, growing
+    // with the corpus. The cache matters at scale: an UNCACHED window
+    // form executes the full sort-window pass once per self-join side
+    // (no exchange reuse across object pipelines — measured), which
+    // read 5× the old form's peak execution memory at sf10 (1279 vs
+    // 263 MB, VolumeProbe) — the r10 sf100-OOM trajectory. Cached:
+    // the flatMap, the exchange and the window sort run ONCE; the
+    // cache preserves hashpartitioning(g), so the hinted self-join
+    // needs no further exchange; SHJ is skew-safe (df-cap bounds
+    // every key at ≤ maxDf rows; merge over the cache measured
+    // byte-identical volumes — the peak stage is the window sort, not
+    // the build). Measured (graft.D16Probe + interleaved binary
+    // A/Bs): full query 0.80×/0.97× of old at sf0.1 and
+    // **0.76×/0.80× at sf10** with shuffle records 8.50M → 4.88M
+    // (−43%, bg crosses the wire once) and peak 263 → 635 MB (the
+    // single window sort — per-task state sized by the shuffle-
+    // partition protocol, 0 spill; vs 1279 MB for the uncached
+    // double-sort form, which was rejected on exactly that
+    // trajectory despite its better gate-scale wall, 0.66×). The
+    // declarative split/zip_with bigram arm tied the flatMap (kept
+    // on the Shingles.index convention).
     import org.apache.spark.sql.expressions.Window
-    val bgk = bg
+    val bgkC = bg
       .withColumn("df_g", count(lit(1)).over(Window.partitionBy("g")))
       .filter(col("df_g") <= maxDf)
       .select("doc_id", "g")
-      .hint("shuffle_hash")
+      .cacheIf()
+    val bgk = bgkC.hint("shuffle_hash")
     val cand = bgk.select(col("doc_id").as("a"), col("g"))
       .join(bgk.select(col("doc_id").as("b"), col("g")), "g")
       .filter(col("a") < col("b")).select("a", "b").distinct()
-    (pfx, cand)
+    (pfx, bgkC, cand)
   }
 
   /** Candidate-pair count of [[editPairs]]'s blocking stage — the
     * quantity its scale claim is about (PlanAudit guard). */
   private[graft] def editCandidateCount(docs: DataFrame,
       prefixLen: Int = 40, maxDf: Int = 20): Long = {
-    val (pfx, cand) = editCandidates(docs, prefixLen, maxDf)
+    val (pfx, bgk, cand) = editCandidates(docs, prefixLen, maxDf)
     val n = cand.count()
+    bgk.unpersistIf()
     pfx.unpersistIf()
     n
   }
 
   def editPairs(docs: DataFrame, prefixLen: Int = 40, maxDist: Int = 8,
       maxDf: Int = 20): DataFrame = {
-    val (pfx, cand) = editCandidates(docs, prefixLen, maxDf)
+    val (pfx, bgk, cand) = editCandidates(docs, prefixLen, maxDf)
     val out = cand
       .join(pfx.select(col("doc_id").as("a"), col("p").as("pa")), "a")
       .join(pfx.select(col("doc_id").as("b"), col("p").as("pb")), "b")
@@ -349,6 +359,7 @@ object Dedup {
       .select(col("a"), col("b"), col("dist"))
       .orderBy("a", "b")
       .finishIf()
+    bgk.unpersistIf()
     pfx.unpersistIf()
     out
   }

@@ -425,13 +425,17 @@ class PlanAuditSpec extends SparkSpec {
     "d13_dup_weight" -> Map("shuffle" -> 2, "sort" -> 2),
     "d14_incremental_dedup" -> Map("bhj" -> 1, "broadcast" -> 1, "shuffle" -> 3, "sort" -> 2),
     "d15_source_overlap" -> Map("bhj" -> 6, "broadcast" -> 6, "shuffle" -> 6, "sort" -> 1),
-    // r13 session 3: df-cap as a window over the self-join's own
-    // exchange + shuffle_hash-hinted self-join (D16Probe: 0.66× at
-    // sf0.1) — the kept-bigram broadcast and the duplicated flatMap
-    // aggregate branch are gone (bhj/broadcast 5 → 2: only the two
-    // prefix attach joins still broadcast; shj 1 = the hinted
-    // self-join; sorts 3 = the two window sorts + output order).
-    "d16_edit_pairs" -> Map("bhj" -> 2, "broadcast" -> 2, "shj" -> 1, "shuffle" -> 5, "sort" -> 3),
+    // r13 session 3: df-cap as a window over one exchange, windowed
+    // frame CACHED, shuffle_hash-hinted self-join over the cache
+    // (D16Probe + binary A/Bs: full query 0.80×/0.97× sf0.1,
+    // 0.76×/0.80× sf10, shuffle records −43% at sf10) — the
+    // kept-bigram broadcast and the duplicated flatMap/window passes
+    // are gone (bhj/broadcast 5 → 2: only the two prefix attach joins
+    // still broadcast; shj 1 = the hinted self-join; sort 2 = the ONE
+    // window sort + output order; shuffle 6 counts the cache-build
+    // exchange once through the cache boundary plus the join-side
+    // scans of it).
+    "d16_edit_pairs" -> Map("bhj" -> 2, "broadcast" -> 2, "shj" -> 1, "shuffle" -> 6, "sort" -> 2),
     "d17_dedup_report" -> Map("shuffle" -> 3, "sort" -> 2),
     "d1_dedup_exact" -> Map("shuffle" -> 2, "sort" -> 1),
     "d2_dedup_ngram" -> Map("bhj" -> 4, "broadcast" -> 4, "shuffle" -> 5, "sort" -> 1),
