@@ -26,8 +26,11 @@ import graft.Tables
   * form through r13 session 2).
   * Arm B (WIN): the SAME typed flatMap, df-cap as a COUNT window over
   * the single hashpartitioning(g) exchange the self-join needs anyway
-  * — the flatMap then runs ONCE (both join sides sit above one
-  * reusable exchange) and the kept broadcast disappears.
+  * — the kept broadcast disappears. (MEASURED CAVEAT: exchange reuse
+  * does NOT fire across these object-pipeline subtrees — the
+  * flatMap + window still execute once per UNCACHED consumer, which
+  * is what the cached arm exists to fix; at sf10 the uncached forms
+  * read 2–5× the old peak execution memory.)
   * Arm C (EXPR): window df-cap + bigrams via native expressions
   * (split/zip_with/array_distinct/explode). Included to re-test the
   * Shingles.index lesson on this shape: array HOFs run INTERPRETED,
@@ -100,10 +103,13 @@ object D16Probe {
 
   /** Window df-cap + self-join over any bigram frame. `joinHint`
     * (merge / shuffle_hash / "" = planner's choice) controls the
-    * self-join strategy: the planner broadcasts one whole
-    * window subtree at gate scale (recomputing the flatMap), while a
-    * shuffle join makes both sides identical Exchange(g) subtrees the
-    * ReuseExchange rule deduplicates — flatMap once. */
+    * self-join strategy: the planner broadcasts one whole window
+    * subtree at gate scale (recomputing the flatMap), while a shuffle
+    * join keeps both sides as Exchange(g) subtrees. (Measured: the
+    * ReuseExchange rule does NOT deduplicate them — canonical
+    * equality fails across the object-pipeline subtrees — so every
+    * UNCACHED arm executes the flatMap + window once per side; the
+    * cached arm is the only single-execution form.) */
   private def winCandOf(bg: DataFrame, joinHint: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bgk0 = bg
