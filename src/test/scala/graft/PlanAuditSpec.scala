@@ -102,6 +102,18 @@ class PlanAuditSpec extends SparkSpec {
       s"q2 scan must prune columns, reads ${scan.schema.fields.map(_.name).mkString(",")}")
   }
 
+  test("a5's y extraction is codegen substring arithmetic, not a JSON parse (r14)") {
+    // the per-row get_json_object parse ran in BOTH fact passes and was
+    // a5's dominant cost (A5Probe: full query 1.84 -> 0.71 s at sf0.1);
+    // the generator's fixed `{"k": %d}` props shape makes the substring
+    // form bit-exact (probe gate: 0 mismatches; Round3bOpsSpec still
+    // cross-checks the output against a json-extracted reference)
+    val plan = SparkEntry.queries("a5_mahalanobis")(spark, sf)
+      .queryExecution.executedPlan
+    assert(!plan.toString.contains("get_json_object"),
+      "a5 must not pay a per-row JSON parse for the fixed-format props column")
+  }
+
   test("dimension joins broadcast: q3's plan contains broadcast exchanges") {
     val plan = SparkEntry.queries("q3_join_agg")(spark, sf)
       .queryExecution.executedPlan
