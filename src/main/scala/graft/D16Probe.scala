@@ -155,6 +155,77 @@ object D16Probe {
     (bgkC, cand)
   }
 
+  /** Arm G (r14, VERDICT r13 item 3): df-cap as a partial-agg groupBy
+    * count + shuffle_hash LEFT SEMI join, over a CACHED uncapped
+    * bigram frame. Fixes arm F's latent skew hazard: F's COUNT window
+    * buffers each bigram's FULL posting list in one WindowExec task
+    * BEFORE the df filter discards hot keys — a straggler whose size
+    * grows with the corpus under Zipf bigram skew. Here the hot keys
+    * are reduced MAP-SIDE by the partial aggregation (≤ P partial
+    * rows each), the semi build side is the kept set (≤ 1 row per
+    * bigram, partitioned — not broadcast), and the probe side streams
+    * with no per-key buffering; no WindowExec touches an unfiltered
+    * posting list. The cache moves from the capped index to the
+    * uncapped bigram frame so the typed flatMap still runs once
+    * (uncached, the agg branch and the semi branch would each compute
+    * it — the r12 double-flatMap regression). Returns (cached frame,
+    * cand); caller unpersists. */
+  private def semiCand(pfx: DataFrame): (DataFrame, DataFrame) = {
+    val bgC = oldBg(pfx).cache()
+    val kept = bgC.groupBy("g").agg(count(lit(1)).as("df_g"))
+      .filter(col("df_g") <= MaxDf).select("g")
+    val bgk = bgC.join(kept.hint("shuffle_hash"), Seq("g"), "left_semi")
+      .hint("shuffle_hash")
+    val cand = bgk.select(col("doc_id").as("a"), col("g"))
+      .join(bgk.select(col("doc_id").as("b"), col("g")), "g")
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    (bgC, cand)
+  }
+
+  /** Arm G2 (r14, the shipped candidate): arm G plus a SECOND cache on
+    * the capped semi output, so the self-join sides read the tiny
+    * capped index instead of re-running the 3M-row semi probe each
+    * (arm G measured 1.8x of old at sf10 from exactly that). Cache
+    * roles: bgC makes the typed flatMap run once across the agg and
+    * probe branches (exchange reuse cannot dedupe object pipelines —
+    * r13 measurement); bgkC makes the semi probe run once across the
+    * two self-join sides. Returns (bg cache, capped cache, cand);
+    * caller unpersists both. */
+  private def semi2Cand(pfx: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val bgC = oldBg(pfx).cache()
+    val kept = bgC.groupBy("g").agg(count(lit(1)).as("df_g"))
+      .filter(col("df_g") <= MaxDf).select("g")
+    val bgkC = bgC.join(kept.hint("shuffle_hash"), Seq("g"), "left_semi")
+      .cache()
+    val bgk = bgkC.hint("shuffle_hash")
+    val cand = bgk.select(col("doc_id").as("a"), col("g"))
+      .join(bgk.select(col("doc_id").as("b"), col("g")), "g")
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    (bgC, bgkC, cand)
+  }
+
+  /** Arm G3 (r14): no bigram cache at all — the typed flatMap runs
+    * TWICE (once under the partial-agg count branch, once under the
+    * probe branch), and only the capped semi output is cached for the
+    * self-join sides. Rationale: the duplicated work is just
+    * scan+flatMap (the agg branch exchanges map-side PARTIALS, not
+    * rows — unlike the r12 join-back form, whose duplicate included
+    * the full-row exchange), while arm G2's uncapped-bigram cache
+    * build costs more than the flatMap it saves. Returns (capped
+    * cache, cand); caller unpersists. */
+  private def semi3Cand(pfx: DataFrame): (DataFrame, DataFrame) = {
+    val bg = oldBg(pfx)
+    val kept = bg.groupBy("g").agg(count(lit(1)).as("df_g"))
+      .filter(col("df_g") <= MaxDf).select("g")
+    val bgkC = bg.join(kept.hint("shuffle_hash"), Seq("g"), "left_semi")
+      .cache()
+    val bgk = bgkC.hint("shuffle_hash")
+    val cand = bgk.select(col("doc_id").as("a"), col("g"))
+      .join(bgk.select(col("doc_id").as("b"), col("g")), "g")
+      .filter(col("a") < col("b")).select("a", "b").distinct()
+    (bgkC, cand)
+  }
+
   private def mustBeEmpty(name: String, df: DataFrame): Unit = {
     val n = df.limit(20).collect()
     if (n.nonEmpty) {
@@ -213,6 +284,30 @@ object D16Probe {
     mustBeEmpty("cached-cand minus old-cand", c0.exceptAll(oldCand(pfx)))
     g0.unpersist()
     println("[d16probe] cached-arm gate PASSED")
+    // arm G gate: the semi-join df-cap must match too
+    val (g1, c1) = semiCand(pfx)
+    mustBeEmpty("old-cand minus semi-cand", oldCand(pfx).exceptAll(c1))
+    mustBeEmpty("semi-cand minus old-cand", c1.exceptAll(oldCand(pfx)))
+    g1.unpersist()
+    println("[d16probe] semi-arm gate PASSED")
+    // arm G2 gate
+    val (g2a, g2b, c2) = semi2Cand(pfx)
+    mustBeEmpty("old-cand minus semi2-cand", oldCand(pfx).exceptAll(c2))
+    mustBeEmpty("semi2-cand minus old-cand", c2.exceptAll(oldCand(pfx)))
+    g2b.unpersist(); g2a.unpersist()
+    println("[d16probe] semi2-arm gate PASSED")
+    // arm G3 gate
+    val (g3, c3) = semi3Cand(pfx)
+    mustBeEmpty("old-cand minus semi3-cand", oldCand(pfx).exceptAll(c3))
+    mustBeEmpty("semi3-cand minus old-cand", c3.exceptAll(oldCand(pfx)))
+    g3.unpersist()
+    println("[d16probe] semi3-arm gate PASSED")
+    // the skew exposure arm F's window carries: the largest single
+    // bigram posting list a WindowExec task would buffer pre-filter
+    val maxDf = oldBg(pfx).groupBy("g").count()
+      .agg(max("count"), count(lit(1))).collect()(0)
+    println(s"[d16probe] max single-bigram df = ${maxDf.getLong(0)} " +
+      s"over ${maxDf.getLong(1)} distinct bigrams (cap $MaxDf)")
 
     val arms: Seq[(String, () => DataFrame)] = Seq(
       "old" -> (() => oldCand(pfx)),
@@ -237,12 +332,36 @@ object D16Probe {
         g.unpersist()
         mins("cached") = math.min(mins("cached"), t)
         f"cached $t%.3f s"
+      } :+ {
+        // arm G: same lifecycle discipline as arm F
+        spark.sparkContext.setJobDescription(s"d16probe: semi pass $i")
+        val (g, c) = semiCand(pfx)
+        val t = time(c)
+        g.unpersist()
+        mins("semi") = math.min(mins("semi"), t)
+        f"semi $t%.3f s"
+      } :+ {
+        // arm G2
+        spark.sparkContext.setJobDescription(s"d16probe: semi2 pass $i")
+        val (ga, gb, c) = semi2Cand(pfx)
+        val t = time(c)
+        gb.unpersist(); ga.unpersist()
+        mins("semi2") = math.min(mins("semi2"), t)
+        f"semi2 $t%.3f s"
+      } :+ {
+        // arm G3
+        spark.sparkContext.setJobDescription(s"d16probe: semi3 pass $i")
+        val (g, c) = semi3Cand(pfx)
+        val t = time(c)
+        g.unpersist()
+        mins("semi3") = math.min(mins("semi3"), t)
+        f"semi3 $t%.3f s"
       }
       println(s"[d16probe] pass $i  " + row.mkString("  "))
     }
     val base = mins("old")
     println(s"[d16probe] min-of-$passes  " +
-      (arms.map(_._1) :+ "cached").map { name =>
+      (arms.map(_._1) :+ "cached" :+ "semi" :+ "semi2" :+ "semi3").map { name =>
         f"$name ${mins(name)}%.3f s (${mins(name) / base}%.2f×)"
       }.mkString("  "))
     spark.stop()

@@ -297,38 +297,42 @@ object Dedup {
         p.split(" ").iterator.sliding(2).map(_.mkString(" "))
           .toSet.iterator.map((g: String) => (id, g))
       }.toDF("doc_id", "g")
-    // r13: df-cap as a COUNT window over ONE hashpartitioning(g)
-    // exchange (d13's window-over-exchange idiom), the windowed frame
-    // CACHED, and the self-join hinted shuffled-hash over the cache.
-    // The former groupBy().count() + join-back form computed the
-    // typed flatMap a second time for the aggregate branch (exchange
-    // reuse cannot deduplicate a partial-agg subtree) and broadcast
-    // the kept-bigram list — O(distinct bigrams) strings, growing
-    // with the corpus. The cache matters at scale: an UNCACHED window
-    // form executes the full sort-window pass once per self-join side
-    // (no exchange reuse across object pipelines — measured), which
-    // read 5× the old form's peak execution memory at sf10 (1279 vs
-    // 263 MB, VolumeProbe) — the r10 sf100-OOM trajectory. Cached:
-    // the flatMap, the exchange and the window sort run ONCE; the
-    // cache preserves hashpartitioning(g), so the hinted self-join
-    // needs no further exchange; SHJ is skew-safe (df-cap bounds
-    // every key at ≤ maxDf rows; merge over the cache measured
-    // byte-identical volumes — the peak stage is the window sort, not
-    // the build). Measured (graft.D16Probe + interleaved binary
-    // A/Bs): full query 0.80×/0.97× of old at sf0.1 and
-    // **0.76×/0.80× at sf10** with shuffle records 8.50M → 4.88M
-    // (−43%, bg crosses the wire once) and peak 263 → 635 MB (the
-    // single window sort — per-task state sized by the shuffle-
-    // partition protocol, 0 spill; vs 1279 MB for the uncached
-    // double-sort form, which was rejected on exactly that
-    // trajectory despite its better gate-scale wall, 0.66×). The
-    // declarative split/zip_with bigram arm tied the flatMap (kept
-    // on the Shingles.index convention).
-    import org.apache.spark.sql.expressions.Window
-    val bgkC = bg
-      .withColumn("df_g", count(lit(1)).over(Window.partitionBy("g")))
-      .filter(col("df_g") <= maxDf)
-      .select("doc_id", "g")
+    // r14 (VERDICT r13 item 3): df-cap as a map-side-combined groupBy
+    // count + partitioned shuffle_hash LEFT SEMI join, replacing r13's
+    // COUNT window. The window buffered each bigram's FULL posting
+    // list in one WindowExec task BEFORE the df filter dropped hot
+    // keys — a single-task straggler that grows with the corpus under
+    // Zipf bigram skew (ladder: max single-bigram df 3,813 over 3,906
+    // distinct at sf10, 57 over 2,683 at sf0.1 — harmless here,
+    // unbounded on a real 100 TB corpus). In this form no operator
+    // buffers an unfiltered posting list: the count branch reduces hot
+    // keys MAP-SIDE (partial agg — its exchange carries ≤
+    // distinct-bigram partial rows, not posting lists), the semi build
+    // side is the kept set (≤ 1 row per bigram, PARTITIONED across the
+    // shuffle — the r12 kept-list BROADCAST grows with corpus vocab
+    // and stays removed), and the probe side streams rows past the
+    // per-partition hash with no per-key state. The typed flatMap runs
+    // twice (count branch + probe branch), both over the cached pfx
+    // frame — measured cheaper than caching the uncapped bigram frame
+    // to dedupe it (D16Probe semi2 1.61 s vs semi3 1.07 s at sf10; an
+    // O(corpus-bigrams) cache is also a non-starter at 100 TB, the
+    // e5/e7 re-scan-the-fact precedent). The capped output is cached
+    // so the self-join pays the semi probe once; the cached plan
+    // exposes no partitioning through its AdaptiveSparkPlan wrapper,
+    // so each self-join side re-exchanges the CAPPED rows (tiny; the
+    // golden plan rows count those exchanges — same shape the r13
+    // cache had). SHJ build memory is bounded per PARTITION by the
+    // shuffle-partition protocol; the df-cap itself only bounds the
+    // per-key candidate stream of the self-join. Measured
+    // (graft.D16Probe, bit-exactness gate 0 diffs both directions at
+    // sf0.1 AND sf10): blocking stage TIES the r13 cached-window arm
+    // at sf10 (1.067 vs 1.072 s min-of-4) and reads +0.13 s at sf0.1
+    // (0.846 vs 0.717 — the second flatMap pass over the pfx cache);
+    // WindowExec and its 635 MB sf10 sort peak are gone from the plan
+    // (VolumeProbe peak re-measured in the same commit).
+    val kept = bg.groupBy("g").agg(count(lit(1)).as("df_g"))
+      .filter(col("df_g") <= maxDf).select("g")
+    val bgkC = bg.join(kept.hint("shuffle_hash"), Seq("g"), "left_semi")
       .cacheIf()
     val bgk = bgkC.hint("shuffle_hash")
     val cand = bgk.select(col("doc_id").as("a"), col("g"))

@@ -437,17 +437,21 @@ class PlanAuditSpec extends SparkSpec {
     "d13_dup_weight" -> Map("shuffle" -> 2, "sort" -> 2),
     "d14_incremental_dedup" -> Map("bhj" -> 1, "broadcast" -> 1, "shuffle" -> 3, "sort" -> 2),
     "d15_source_overlap" -> Map("bhj" -> 6, "broadcast" -> 6, "shuffle" -> 6, "sort" -> 1),
-    // r13 session 3: df-cap as a window over one exchange, windowed
-    // frame CACHED, shuffle_hash-hinted self-join over the cache
-    // (D16Probe + binary A/Bs: full query 0.80×/0.97× sf0.1,
-    // 0.76×/0.80× sf10, shuffle records −43% at sf10) — the
-    // kept-bigram broadcast and the duplicated flatMap/window passes
-    // are gone (bhj/broadcast 5 → 2: only the two prefix attach joins
-    // still broadcast; shj 1 = the hinted self-join; sort 2 = the ONE
-    // window sort + output order; shuffle 6 counts the cache-build
-    // exchange once through the cache boundary plus the join-side
-    // scans of it).
-    "d16_edit_pairs" -> Map("bhj" -> 2, "broadcast" -> 2, "shj" -> 1, "shuffle" -> 6, "sort" -> 2),
+    // r14 (2026-08-18, VERDICT r13 item 3): df-cap re-formed as a
+    // map-side-combined groupBy count + partitioned shuffle_hash
+    // LEFT SEMI join — r13's COUNT window buffered each bigram's full
+    // posting list in one WindowExec task BEFORE the filter (a 100 TB
+    // Zipf-skew straggler; no WindowExec touches an unfiltered posting
+    // list now). shj 2 = the semi + the hinted self-join; shuffle 7 =
+    // r13's 6 plus the partial-agg count exchange (which carries
+    // ≤ distinct-bigram partial rows, not posting lists); sort 1 =
+    // output order only (the window sort is gone — sf10 peak exec mem
+    // 635 → 519 MB, records +2.5% = exactly the partial-count rows).
+    // D16Probe bit-exactness gate 0 diffs at sf0.1 AND sf10; blocking
+    // stage ties r13's cached-window arm at sf10 (1.067 vs 1.072 s),
+    // +0.13 s at sf0.1 (the second flatMap pass) — the q3-Bloom
+    // precedent: gate scale pays, the scale hazard goes.
+    "d16_edit_pairs" -> Map("bhj" -> 2, "broadcast" -> 2, "shj" -> 2, "shuffle" -> 7, "sort" -> 1),
     "d17_dedup_report" -> Map("shuffle" -> 3, "sort" -> 2),
     "d1_dedup_exact" -> Map("shuffle" -> 2, "sort" -> 1),
     "d2_dedup_ngram" -> Map("bhj" -> 4, "broadcast" -> 4, "shuffle" -> 5, "sort" -> 1),
